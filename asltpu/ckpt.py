@@ -1,0 +1,332 @@
+"""Checkpointing (C14): orbax save/restore for native checkpoints, plus a
+torch ``.pt/.pth`` state-dict importer so reference-format weights load for
+parity (the reference stored raw torch checkpoints — ``.gitignore:3-4`` is
+the only surviving evidence of its weight format).
+
+Parity-critical layout rules (SURVEY.md §7.3.3 — "the fp32-tolerance clause
+fails here first"):
+
+  - Conv2d weight  (O, I, kH, kW)      → flax kernel (kH, kW, I, O)
+  - depthwise conv (C, 1, kH, kW)      → flax kernel (kH, kW, 1, C)
+  - Conv3d weight  (O, I, kT, kH, kW)  → flax kernel (kT, kH, kW, I, O)
+  - Linear weight  (O, I)              → flax kernel (I, O)
+  - BatchNorm weight/bias → params.{scale,bias}; running_{mean,var} →
+    batch_stats.{mean,var}
+  - LSTM: torch gate order i,f,g,o kept verbatim; ``b = bias_ih + bias_hh``
+    (our cell applies a single fused bias — mathematically identical).
+  - GRU: torch gate order r,z,n kept verbatim; ``bi``/``bh`` stay separate
+    because torch applies the reset gate AFTER the hidden matmul.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asltpu.config import (
+    I3DConfig,
+    MobileNetV2GRUConfig,
+    ModelConfig,
+    PoseBiLSTMConfig,
+    ResNet18TransformerConfig,
+)
+
+Variables = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# orbax native checkpoints
+# --------------------------------------------------------------------------
+
+
+def save_variables(directory: str, variables: Variables, step: int = 0) -> str:
+    """Save model variables with orbax under ``directory/step``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, str(step)))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(variables), force=True)
+    return path
+
+
+def restore_variables(directory: str, template: Variables) -> Variables:
+    """Restore variables saved by :func:`save_variables`. ``directory`` may
+    be the step dir itself or its parent (latest step picked)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    if not _is_step_dir(path):
+        steps = sorted(
+            (int(d) for d in os.listdir(path) if d.isdigit()), reverse=True
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint steps under {path}")
+        path = os.path.join(path, str(steps[0]))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, jax.device_get(template))
+
+
+def _is_step_dir(path: str) -> bool:
+    return os.path.basename(path).isdigit() and os.path.isdir(path)
+
+
+def save_train_state(directory: str, state) -> str:
+    """Save a TrainState (params + opt + step + RNG — SURVEY.md §5.4) under
+    ``directory/<step>``."""
+    return save_variables(directory, _state_to_tree(state), int(state.step))
+
+
+def try_restore_train_state(directory: str, state):
+    """Resume from the latest step under ``directory`` if one exists, else
+    return ``state`` unchanged (fresh run)."""
+    if not os.path.isdir(directory):
+        return state
+    steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+    if not steps:
+        return state
+    tree = restore_variables(
+        os.path.join(directory, str(max(steps))), _state_to_tree(state)
+    )
+    return state.replace(**tree)
+
+
+def _state_to_tree(state) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+
+
+# --------------------------------------------------------------------------
+# torch state-dict import
+# --------------------------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def conv2d_kernel(w) -> np.ndarray:
+    w = _t(w)
+    if w.shape[1] == 1 and w.shape[0] > 1:  # depthwise (C,1,kH,kW)
+        return w.transpose(2, 3, 1, 0)
+    return w.transpose(2, 3, 1, 0)  # OIHW → HWIO
+
+
+def conv3d_kernel(w) -> np.ndarray:
+    return _t(w).transpose(2, 3, 4, 1, 0)  # OIDHW → DHWIO
+
+
+def linear_kernel(w) -> np.ndarray:
+    return _t(w).T  # (O,I) → (I,O)
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into numpy arrays (handles both bare
+    state dicts and {"state_dict": ...} wrappers)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _t(v) for k, v in obj.items()}
+
+
+def _set(tree: Dict, flax_path: str, value: np.ndarray):
+    """Set ``tree[a][b][...] = value`` for 'a/b/...' path, validating shape
+    against the initialized template."""
+    keys = flax_path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node[k]
+    old = node[keys[-1]]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {flax_path}: template {tuple(old.shape)} vs "
+            f"import {tuple(value.shape)}"
+        )
+    node[keys[-1]] = jnp.asarray(value, dtype=old.dtype)
+
+
+def _import_convbn(
+    params: Dict, stats: Dict, flax_prefix: str,
+    sd: Dict[str, np.ndarray], conv_key: str, bn_key: str, conv3d: bool = False,
+):
+    kernel = conv3d_kernel(sd[conv_key + ".weight"]) if conv3d else conv2d_kernel(
+        sd[conv_key + ".weight"]
+    )
+    _set(params, f"{flax_prefix}/conv/kernel", kernel)
+    if conv_key + ".bias" in sd:
+        _set(params, f"{flax_prefix}/conv/bias", sd[conv_key + ".bias"])
+    _set(params, f"{flax_prefix}/bn/scale", sd[bn_key + ".weight"])
+    _set(params, f"{flax_prefix}/bn/bias", sd[bn_key + ".bias"])
+    _set(stats, f"{flax_prefix}/bn/mean", sd[bn_key + ".running_mean"])
+    _set(stats, f"{flax_prefix}/bn/var", sd[bn_key + ".running_var"])
+
+
+def import_mobilenetv2(
+    sd: Dict[str, np.ndarray], variables: Variables, prefix: str = "backbone"
+) -> Variables:
+    """torchvision ``mobilenet_v2`` state dict → our MobileNetV2 names.
+
+    torchvision layout: features.0 stem; features.1..17 inverted residuals
+    (t=1 block: conv.0 depthwise + conv.1/2 project; t=6 blocks: conv.0
+    expand, conv.1 depthwise, conv.2/3 project); features.18 head.
+    """
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    p, s = variables["params"], variables["batch_stats"]
+    pre = f"{prefix}/" if prefix else ""
+    _import_convbn(p, s, f"{pre}stem", sd, "features.0.0", "features.0.1")
+    for i in range(1, 18):
+        blk = f"{pre}block{i - 1}"
+        first = f"features.{i}.conv"
+        if f"{first}.3.weight" in sd:  # expand_ratio != 1
+            _import_convbn(p, s, f"{blk}/expand", sd, f"{first}.0.0", f"{first}.0.1")
+            _import_convbn(p, s, f"{blk}/depthwise", sd, f"{first}.1.0", f"{first}.1.1")
+            _import_convbn(p, s, f"{blk}/project", sd, f"{first}.2", f"{first}.3")
+        else:  # expand_ratio == 1 (block features.1)
+            _import_convbn(p, s, f"{blk}/depthwise", sd, f"{first}.0.0", f"{first}.0.1")
+            _import_convbn(p, s, f"{blk}/project", sd, f"{first}.1", f"{first}.2")
+    _import_convbn(p, s, f"{pre}head", sd, "features.18.0", "features.18.1")
+    return jax.tree.map(jnp.asarray, variables)
+
+
+def import_resnet18(
+    sd: Dict[str, np.ndarray], variables: Variables, prefix: str = "backbone"
+) -> Variables:
+    """torchvision ``resnet18`` state dict → our ResNet18 names."""
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    p, s = variables["params"], variables["batch_stats"]
+    pre = f"{prefix}/" if prefix else ""
+    _import_convbn(p, s, f"{pre}stem", sd, "conv1", "bn1")
+    for stage in range(1, 5):
+        for blk in range(2):
+            t = f"layer{stage}.{blk}"
+            f = f"{pre}layer{stage}_{blk}"
+            _import_convbn(p, s, f"{f}/conv1", sd, f"{t}.conv1", f"{t}.bn1")
+            _import_convbn(p, s, f"{f}/conv2", sd, f"{t}.conv2", f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in sd:
+                _import_convbn(
+                    p, s, f"{f}/downsample", sd,
+                    f"{t}.downsample.0", f"{t}.downsample.1",
+                )
+    return jax.tree.map(jnp.asarray, variables)
+
+
+def import_torch_rnn(
+    sd: Dict[str, np.ndarray],
+    variables: Variables,
+    rnn_prefix: str,
+    flax_prefix: str,
+    num_layers: int,
+    bidirectional: bool,
+    cell: str,  # "lstm" | "gru"
+) -> Variables:
+    """torch nn.LSTM/nn.GRU parameters → our scan-cell parameter names."""
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    p = variables["params"]
+    for node in flax_prefix.split("/"):
+        if node:
+            p = p[node]
+    directions = ["fwd", "bwd"] if bidirectional else [""]
+    for layer in range(num_layers):
+        for d_i, d in enumerate(directions):
+            sfx = "_reverse" if d_i == 1 else ""
+            wi = linear_kernel(sd[f"{rnn_prefix}weight_ih_l{layer}{sfx}"])
+            wh = linear_kernel(sd[f"{rnn_prefix}weight_hh_l{layer}{sfx}"])
+            bi = sd[f"{rnn_prefix}bias_ih_l{layer}{sfx}"]
+            bh = sd[f"{rnn_prefix}bias_hh_l{layer}{sfx}"]
+            tag = f"l{layer}_{d}_" if d else f"l{layer}_"
+            if cell == "lstm":
+                _assign(p, tag + "wi", wi)
+                _assign(p, tag + "wh", wh)
+                _assign(p, tag + "b", bi + bh)
+            else:
+                _assign(p, tag + "wi", wi)
+                _assign(p, tag + "wh", wh)
+                _assign(p, tag + "bi", bi)
+                _assign(p, tag + "bh", bh)
+    return jax.tree.map(jnp.asarray, variables)
+
+
+def _assign(node: Dict, key: str, value: np.ndarray):
+    old = node[key]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {key}: {tuple(old.shape)} vs {tuple(value.shape)}"
+        )
+    node[key] = jnp.asarray(value, dtype=old.dtype)
+
+
+def import_i3d(
+    sd: Dict[str, np.ndarray], variables: Variables
+) -> Variables:
+    """pytorch-i3d layout (``Conv3d_1a_7x7.conv3d.weight``,
+    ``Mixed_3b.b0.…``, ``logits.conv3d.…``) → our I3D names."""
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    p, s = variables["params"], variables["batch_stats"]
+
+    def unit(flax_name: str, torch_name: str):
+        _import_convbn(
+            p, s, f"{flax_name}/unit", sd,
+            f"{torch_name}.conv3d", f"{torch_name}.bn", conv3d=True,
+        )
+
+    unit("Conv3d_1a_7x7", "Conv3d_1a_7x7")
+    unit("Conv3d_2b_1x1", "Conv3d_2b_1x1")
+    unit("Conv3d_2c_3x3", "Conv3d_2c_3x3")
+    for mixed in ["3b", "3c", "4b", "4c", "4d", "4e", "4f", "5b", "5c"]:
+        for br in ["b0", "b1a", "b1b", "b2a", "b2b", "b3b"]:
+            unit(f"Mixed_{mixed}/{br}", f"Mixed_{mixed}.{br}")
+    if "logits.conv3d.weight" in sd:
+        w = sd["logits.conv3d.weight"]  # (C, 1024, 1, 1, 1)
+        _set(p, "logits/kernel", w.reshape(w.shape[0], w.shape[1]).T)
+        _set(p, "logits/bias", sd["logits.conv3d.bias"])
+    return jax.tree.map(jnp.asarray, variables)
+
+
+def load_torch_checkpoint(
+    path: str, variables: Variables, cfg: ModelConfig
+) -> Variables:
+    """Dispatch the torch import by model config."""
+    sd = load_state_dict(path)
+    if isinstance(cfg, MobileNetV2GRUConfig):
+        v = import_mobilenetv2(sd, variables, prefix="backbone")
+        v = import_torch_rnn(
+            {k.removeprefix("gru."): x for k, x in sd.items() if k.startswith("gru.")},
+            v, "", "head", cfg.gru_layers, False, "gru",
+        )
+        if "fc.weight" in sd:
+            v = _import_linear(sd, v, "fc", "head/fc")
+        return v
+    if isinstance(cfg, ResNet18TransformerConfig):
+        return import_resnet18(sd, variables, prefix="backbone")
+    if isinstance(cfg, PoseBiLSTMConfig):
+        v = import_torch_rnn(
+            {k.removeprefix("lstm."): x for k, x in sd.items() if k.startswith("lstm.")},
+            variables, "", "", cfg.num_layers, True, "lstm",
+        )
+        if "fc.weight" in sd:
+            v = _import_linear(sd, v, "fc", "fc")
+        return v
+    if isinstance(cfg, I3DConfig):
+        return import_i3d(sd, variables)
+    raise NotImplementedError(f"torch import for {type(cfg).__name__}")
+
+
+def _import_linear(
+    sd: Dict[str, np.ndarray], variables: Variables, torch_name: str, flax_path: str
+) -> Variables:
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    _set(variables["params"], f"{flax_path}/kernel",
+         linear_kernel(sd[f"{torch_name}.weight"]))
+    _set(variables["params"], f"{flax_path}/bias", sd[f"{torch_name}.bias"])
+    return jax.tree.map(jnp.asarray, variables)

@@ -1,0 +1,149 @@
+"""Host video decode (C1) — the only stage that stays on the host CPU.
+
+The reference family looped ``cv2.VideoCapture.read()`` over every frame and
+preprocessed each in Python/OpenCV. Here the host does the minimum work the
+TPU cannot: container decode. Two throughput tricks (SURVEY.md §7.3.1):
+
+  - **Sampled-only decode**: uniform temporal sampling indices are computed
+    *first*, and only those frames are converted/staged; the decoder still
+    sequentially decodes (codecs require it) but skips colorspace conversion
+    and resize for unsampled frames via ``grab()``.
+  - **Staging resize on host**: frames are resized to the fixed staging
+    resolution (``PreprocessConfig.staging_size``) so the device sees a
+    static shape — XLA compiles once. The aspect-preserving resize + crop +
+    normalize all run on-device in the fused kernel.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from asltpu.config import PreprocessConfig
+from asltpu.ops.preprocess import uniform_sample_indices
+
+try:  # cv2 is present in the target environment; keep import lazy-safe.
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def decode_sampled_frames(
+    path: str,
+    num_frames: int,
+    staging_size: Tuple[int, int],
+) -> np.ndarray:
+    """Decode exactly the uniformly-sampled frames of a video.
+
+    Returns uint8 RGB [T, Hs, Ws, 3] at the staging resolution.
+    Frames beyond EOF (corrupt containers with bad frame counts) repeat the
+    last good frame.
+    """
+    if cv2 is None:
+        raise RuntimeError("OpenCV not available for video decode")
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    try:
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if total <= 0:
+            # Some containers don't report counts; fall back to full decode.
+            return _decode_all_then_sample(cap, num_frames, staging_size)
+        want = uniform_sample_indices(total, num_frames)
+        hs, ws = staging_size
+        out = np.empty((num_frames, hs, ws, 3), dtype=np.uint8)
+        want_set = {}
+        for out_i, frame_i in enumerate(want):
+            want_set.setdefault(int(frame_i), []).append(out_i)
+        pos = 0
+        last = None
+        max_needed = max(want_set)
+        while pos <= max_needed:
+            if pos in want_set:
+                ok, frame = cap.read()  # decode + convert
+                if not ok:
+                    break
+                frame = _stage(frame, staging_size)
+                for out_i in want_set[pos]:
+                    out[out_i] = frame
+                last = frame
+            else:
+                if not cap.grab():  # decode-only, skip conversion
+                    break
+            pos += 1
+        if last is None:
+            raise IOError(f"no decodable frames in {path}")
+        # Fill any frames past a premature EOF with the last good frame.
+        for frame_i, out_is in want_set.items():
+            if frame_i >= pos:
+                for out_i in out_is:
+                    out[out_i] = last
+        return out
+    finally:
+        cap.release()
+
+
+def _decode_all_then_sample(cap, num_frames, staging_size) -> np.ndarray:
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame)
+    if not frames:
+        raise IOError("no decodable frames")
+    idx = uniform_sample_indices(len(frames), num_frames)
+    return np.stack([_stage(frames[i], staging_size) for i in idx])
+
+
+def _stage(frame_bgr: np.ndarray, staging_size: Tuple[int, int]) -> np.ndarray:
+    """BGR→RGB + resize to the fixed staging resolution (device sees static
+    shapes)."""
+    hs, ws = staging_size
+    if frame_bgr.shape[:2] != (hs, ws):
+        frame_bgr = cv2.resize(frame_bgr, (ws, hs), interpolation=cv2.INTER_LINEAR)
+    return frame_bgr[..., ::-1]  # BGR → RGB (view; copied on assignment)
+
+
+def decode_clip(
+    path: str, cfg: PreprocessConfig, num_frames: Optional[int] = None
+) -> np.ndarray:
+    """Public C1 entry: video path → staged uint8 frames
+    [T, Hs, Ws, 3] ready for the device preprocess kernel."""
+    return decode_sampled_frames(
+        path, num_frames or cfg.num_frames, cfg.staging_size
+    )
+
+
+class DecodePool:
+    """Thread pool decoding clips concurrently (cv2 releases the GIL inside
+    codec work). Feeds the Prefetcher for batched/streaming inference."""
+
+    def __init__(self, cfg: PreprocessConfig, num_workers: int = 4):
+        self.cfg = cfg
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_workers, thread_name_prefix="asltpu-decode"
+        )
+        self._lock = threading.Lock()
+
+    def submit(self, path: str):
+        return self._pool.submit(decode_clip, path, self.cfg)
+
+    def map_batches(self, paths: Sequence[str], batch_size: int):
+        """Yield [B, T, Hs, Ws, 3] uint8 batches in submission order; the
+        final short batch is padded by repeating the last clip (callers get
+        the true count alongside)."""
+        futures = [self.submit(p) for p in paths]
+        for i in range(0, len(futures), batch_size):
+            chunk = futures[i : i + batch_size]
+            clips = [f.result() for f in chunk]
+            n_real = len(clips)
+            while len(clips) < batch_size:
+                clips.append(clips[-1])
+            yield np.stack(clips), n_real
+
+    def shutdown(self):
+        self._pool.shutdown(wait=False)

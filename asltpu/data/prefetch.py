@@ -1,0 +1,95 @@
+"""Double-buffered host→device prefetcher (C3, ``BASELINE.json:4``):
+"double-buffered host→device prefetch so video decode overlaps backbone
+compute".
+
+Mechanism: a bounded queue of host batches feeds a transfer thread that
+issues ``jax.device_put`` ahead of consumption; because JAX transfers are
+async (the returned Array is a future), keeping ``depth`` batches in flight
+overlaps (a) host decode, (b) PCIe transfer, and (c) TPU compute of the
+previous batch. With a sharding, ``device_put`` scatters the batch across
+the data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Iterable, Optional
+
+import jax
+
+
+class Prefetcher:
+    """Wrap a host-batch iterator with a double-buffered device pipeline.
+
+    Args:
+      host_iter: yields host-side batches (numpy arrays / pytrees).
+      depth: number of device batches kept in flight (2 = double buffering).
+      sharding: optional ``jax.sharding.Sharding`` for multi-device layouts.
+      deterministic: run transfers inline on the consumer thread (no
+        background thread) — the debug mode called for in SURVEY.md §5.2.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        host_iter: Iterable[Any],
+        depth: int = 2,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        deterministic: bool = False,
+    ):
+        self._host_iter = iter(host_iter)
+        self._depth = max(1, depth)
+        self._sharding = sharding
+        self._deterministic = deterministic
+        self._err: Optional[BaseException] = None
+        if not deterministic:
+            self._q: queue.Queue = queue.Queue(maxsize=self._depth)
+            self._thread = threading.Thread(
+                target=self._worker, name="asltpu-prefetch", daemon=True
+            )
+            self._thread.start()
+
+    def _put_device(self, batch):
+        if self._sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, self._sharding), batch
+            )
+        return jax.tree.map(jax.device_put, batch)
+
+    def _worker(self):
+        try:
+            for batch in self._host_iter:
+                # device_put returns immediately; the queue bounds how many
+                # transfers are in flight.
+                self._q.put(self._put_device(batch))
+        except BaseException as e:  # propagate to consumer
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self) -> Iterator[Any]:
+        if self._deterministic:
+            for batch in self._host_iter:
+                yield self._put_device(batch)
+            return
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+def prefetch_map(
+    fn: Callable[[Any], Any],
+    host_iter: Iterable[Any],
+    depth: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Iterator[Any]:
+    """Apply a (jitted) device fn over a prefetched stream; dispatch of batch
+    i+1 overlaps compute of batch i (JAX async dispatch)."""
+    for batch in Prefetcher(host_iter, depth=depth, sharding=sharding):
+        yield fn(batch)

@@ -1,0 +1,113 @@
+"""Dataset-free fixtures (SURVEY.md §4.2): synthetic WLASL index + cv2-written
+videos, so tests and benches never need the (takedown-prone) real WLASL
+downloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def write_video(
+    path: str,
+    num_frames: int = 24,
+    size: Tuple[int, int] = (128, 128),
+    fps: int = 25,
+    seed: int = 0,
+) -> np.ndarray:
+    """Write a deterministic synthetic mp4; returns the raw RGB frames
+    [T, H, W, 3] uint8 that were encoded (pre-codec-loss)."""
+    if cv2 is None:
+        raise RuntimeError("cv2 required to write synthetic videos")
+    h, w = size
+    rng = np.random.default_rng(seed)
+    # Smooth moving-gradient content (codec-friendly; random noise destroys
+    # any decode-parity tolerance).
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = np.empty((num_frames, h, w, 3), dtype=np.uint8)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    freq = rng.uniform(0.02, 0.08, size=3)
+    for t in range(num_frames):
+        for c in range(3):
+            img = 127.5 + 110 * np.sin(
+                freq[c] * (xx + yy) + phase[c] + 0.3 * t
+            )
+            frames[t, ..., c] = np.clip(img, 0, 255).astype(np.uint8)
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not writer.isOpened():
+        raise IOError(f"cannot open video writer for {path}")
+    for t in range(num_frames):
+        writer.write(frames[t, ..., ::-1])  # RGB → BGR for the encoder
+    writer.release()
+    return frames
+
+
+def make_synthetic_wlasl(
+    root: str,
+    num_glosses: int = 100,
+    clips_per_gloss: int = 1,
+    num_frames: int = 24,
+    size: Tuple[int, int] = (128, 128),
+    splits: Optional[List[str]] = None,
+) -> Tuple[str, str]:
+    """Create a tiny WLASL-shaped dataset under ``root``.
+
+    Returns (index_json_path, video_dir). Only the first
+    ``min(num_glosses, clips_per_gloss…)`` glosses get real video files;
+    the index always lists ``num_glosses`` glosses so subset logic is
+    exercised.
+    """
+    video_dir = os.path.join(root, "videos")
+    os.makedirs(video_dir, exist_ok=True)
+    splits = splits or ["train"]
+    entries = []
+    vid = 0
+    for g in range(num_glosses):
+        instances = []
+        for c in range(clips_per_gloss):
+            video_id = f"{vid:05d}"
+            split = splits[c % len(splits)]
+            write_video(
+                os.path.join(video_dir, video_id + ".mp4"),
+                num_frames=num_frames,
+                size=size,
+                seed=vid,
+            )
+            instances.append(
+                {"video_id": video_id, "split": split, "frame_start": 1,
+                 "frame_end": -1, "fps": 25}
+            )
+            vid += 1
+        entries.append({"gloss": f"gloss_{g:04d}", "instances": instances})
+    index_path = os.path.join(root, "WLASL_synthetic.json")
+    with open(index_path, "w") as f:
+        json.dump(entries, f)
+    return index_path, video_dir
+
+
+def synthetic_landmarks(
+    batch: int, num_frames: int, seed: int = 0
+) -> np.ndarray:
+    """Plausible 543-landmark sequences: smooth trajectories in [0,1]², with
+    some frames' hand blocks zeroed (missing-detection convention)."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0.2, 0.8, size=(batch, 1, 543, 3)).astype(np.float32)
+    drift = rng.normal(0, 0.003, size=(batch, num_frames, 543, 3)).astype(
+        np.float32
+    ).cumsum(axis=1)
+    lm = np.clip(base + drift, 0.0, 1.0)
+    # Zero out the left-hand block (indices 501:522) in ~20% of frames.
+    mask = rng.random((batch, num_frames)) < 0.2
+    lm[mask, 501:522, :] = 0.0
+    return lm

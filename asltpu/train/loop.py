@@ -1,0 +1,218 @@
+"""Training loop (C12) — the I3D fine-tune obligation (``BASELINE.json:9``),
+usable for every model in the zoo.
+
+TPU shape (SURVEY.md §3.3): ONE jitted train step containing preprocess →
+forward → loss → backward → ``psum`` grads over the ``data`` mesh axis
+(inserted by GSPMD) → optax update, with the train state donated. The host
+loop only feeds prefetched batches and handles checkpoints/metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from asltpu.config import ModelConfig, PreprocessConfig, TrainConfig
+from asltpu.dist.mesh import batch_sharding, make_mesh, replicated_sharding
+from asltpu.ops.preprocess import preprocess_clip
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+class FaultInjected(RuntimeError):
+    """Raised by the train loop at ``TrainConfig.fault_inject_step`` to test
+    checkpoint-resume (SURVEY.md §5.3)."""
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.num_steps, cfg.warmup_steps + 1),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def create_train_state(
+    module, cfg: TrainConfig, dummy_inputs: Tuple[Any, ...], seed: int = 0
+) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = jax.jit(module.init, static_argnums=())(init_rng, *dummy_inputs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+
+
+def softmax_ce(logits: jax.Array, labels: jax.Array, smoothing: float) -> jax.Array:
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    if smoothing > 0:
+        onehot = onehot * (1.0 - smoothing) + smoothing / num_classes
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+
+def make_train_step(
+    module,
+    train_cfg: TrainConfig,
+    pp_cfg: Optional[PreprocessConfig] = None,
+    mesh=None,
+):
+    """Build the jitted train step.
+
+    Signature: ``(state, frames_or_clip, labels) → (state, metrics)``.
+    If ``pp_cfg`` is given, the step takes staged uint8 frames and runs the
+    fused preprocess inside the same XLA program (SURVEY.md §3.3).
+    When ``mesh`` is given, inputs are annotated batch-sharded over ``data``
+    and state replicated — GSPMD inserts the grad ``psum`` over ICI.
+    """
+    tx = make_optimizer(train_cfg)
+
+    def step_fn(state: TrainState, batch_in, labels):
+        rng, dropout_rng = jax.random.split(state.rng)
+        clip = (
+            preprocess_clip(batch_in, pp_cfg) if pp_cfg is not None else batch_in
+        )
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, new_state = module.apply(
+                    variables, clip, True,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+                )
+            else:
+                logits = module.apply(
+                    variables, clip, True, rngs={"dropout": dropout_rng}
+                )
+                new_state = {}
+            loss = softmax_ce(logits, labels, train_cfg.label_smoothing)
+            return loss, (logits, new_state.get("batch_stats", state.batch_stats))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        metrics = {
+            "loss": loss,
+            "top1": top1,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                rng=rng,
+            ),
+            metrics,
+        )
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, data, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(module, pp_cfg: Optional[PreprocessConfig] = None, mesh=None):
+    def eval_fn(state: TrainState, batch_in, labels):
+        clip = (
+            preprocess_clip(batch_in, pp_cfg) if pp_cfg is not None else batch_in
+        )
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = module.apply(variables, clip, False)
+        top1 = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
+        top5 = jnp.sum(
+            jnp.any(
+                jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
+                == labels[:, None],
+                axis=-1,
+            ).astype(jnp.int32)
+        )
+        return top1, top5
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(eval_fn, in_shardings=(repl, data, data))
+    return jax.jit(eval_fn)
+
+
+def train(
+    module,
+    train_cfg: TrainConfig,
+    batches: Iterable[Tuple[Any, Any]],
+    dummy_inputs: Tuple[Any, ...],
+    pp_cfg: Optional[PreprocessConfig] = None,
+    mesh=None,
+    state: Optional[TrainState] = None,
+    metric_writer: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> TrainState:
+    """Run the training loop over an iterable of (batch_in, labels).
+
+    Handles checkpoint/resume via orbax (``train_cfg.ckpt_dir``), periodic
+    metrics, and fault injection for resume testing.
+    """
+    from asltpu import ckpt as _ckpt
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    if state is None:
+        state = create_train_state(module, train_cfg, dummy_inputs, train_cfg.seed)
+        state = _ckpt.try_restore_train_state(train_cfg.ckpt_dir, state)
+    step_fn = make_train_step(module, train_cfg, pp_cfg, mesh)
+
+    start = int(state.step)
+    t0 = time.perf_counter()
+    for i, (batch_in, labels) in enumerate(batches):
+        step = start + i
+        if step >= train_cfg.num_steps:
+            break
+        if step == train_cfg.fault_inject_step:
+            raise FaultInjected(f"injected fault at step {step}")
+        state, metrics = step_fn(state, batch_in, labels)
+        if (step + 1) % train_cfg.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            m["steps_per_sec"] = train_cfg.log_every / dt
+            t0 = time.perf_counter()
+            if metric_writer:
+                metric_writer(step + 1, m)
+        if (step + 1) % train_cfg.ckpt_every == 0:
+            _ckpt.save_train_state(train_cfg.ckpt_dir, state)
+    return state

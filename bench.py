@@ -1,0 +1,117 @@
+"""North-star benchmark (C18): end-to-end clips/sec/chip, decode→logits,
+16-frame 224² WLASL-100-shaped inference on the MobileNetV2+GRU config
+(``BASELINE.json:2,4``; target ≥500 clips/sec/chip on TPU v5e).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+Pipeline measured: cv2 host decode (thread pool) → double-buffered
+host→device prefetch → ONE XLA program (fused preprocess → MobileNetV2 →
+GRU → logits). The decode corpus is synthetic 2-second 256² mp4s (the real
+WLASL videos are takedown-prone; codec work is identical).
+
+Extra diagnostic fields ride in the same JSON object (device-only
+throughput, decode-only throughput, batch size) — the required keys stay.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--clips", type=int, default=256, help="e2e corpus size")
+    ap.add_argument("--device-iters", type=int, default=20)
+    ap.add_argument("--decode-workers", type=int, default=8)
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from asltpu.api import load_model
+    from asltpu.data.decode import DecodePool
+    from asltpu.data.prefetch import Prefetcher
+    from asltpu.data.synthetic import write_video
+    from asltpu.ops.preprocess import preprocess_clip
+
+    model = load_model(
+        "mobilenet_gru",
+        preprocess={"use_pallas": not args.no_pallas},
+    )
+    pp = model.cfg.preprocess
+    fn = model.predict_fn()
+
+    # ---- compile warmup -------------------------------------------------
+    frames = np.random.randint(
+        0, 256, size=(args.batch, pp.num_frames, *pp.staging_size, 3),
+        dtype=np.uint8,
+    )
+    logits = fn(model.variables, frames)
+    jax.block_until_ready(logits)
+
+    # ---- device-only throughput (staged frames → logits) ----------------
+    t0 = time.perf_counter()
+    for _ in range(args.device_iters):
+        logits = fn(model.variables, frames)
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+    device_cps = args.device_iters * args.batch / dt
+
+    # ---- decode corpus --------------------------------------------------
+    tmp = tempfile.mkdtemp(prefix="asltpu_bench_")
+    paths = []
+    for i in range(min(args.clips, 64)):  # reuse videos if clips > 64
+        p = os.path.join(tmp, f"clip{i:03d}.mp4")
+        write_video(p, num_frames=50, size=(256, 256), seed=i)
+        paths.append(p)
+    corpus = [paths[i % len(paths)] for i in range(args.clips)]
+
+    # ---- decode-only throughput ----------------------------------------
+    pool = DecodePool(pp, num_workers=args.decode_workers)
+    t0 = time.perf_counter()
+    n_dec = 0
+    for batch, n_real in pool.map_batches(corpus[: args.clips // 2], args.batch):
+        n_dec += n_real
+    decode_cps = n_dec / (time.perf_counter() - t0)
+
+    # ---- end-to-end: decode → prefetch → device -------------------------
+    def host_batches():
+        for batch, n_real in pool.map_batches(corpus, args.batch):
+            yield batch
+
+    t0 = time.perf_counter()
+    n_done = 0
+    last = None
+    for dev_batch in Prefetcher(host_batches(), depth=2):
+        last = fn(model.variables, dev_batch)
+        n_done += args.batch
+    jax.block_until_ready(last)
+    e2e_cps = n_done / (time.perf_counter() - t0)
+    pool.shutdown()
+
+    result = {
+        "metric": "e2e clips/sec/chip decode->logits (WLASL-100 16f 224^2, "
+        "mobilenet_gru)",
+        "value": round(e2e_cps, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(e2e_cps / 500.0, 3),
+        "device_only_clips_per_sec": round(device_cps, 2),
+        "decode_only_clips_per_sec": round(decode_cps, 2),
+        "batch": args.batch,
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,38 @@
+"""Test environment: force an 8-device virtual CPU mesh (SURVEY.md §4.2 —
+distributed tests without a cluster). Must run before jax is imported."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# The environment's TPU plugin (sitecustomize → axon.register) force-sets
+# jax_platforms="axon,cpu" at interpreter startup, overriding the env var —
+# override it back before any backend is instantiated so tests run on the
+# 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_wlasl(tmp_path_factory):
+    """Synthetic WLASL index + videos: 6 glosses × 2 clips (train/test)."""
+    from asltpu.data.synthetic import make_synthetic_wlasl
+
+    root = str(tmp_path_factory.mktemp("wlasl"))
+    index, videos = make_synthetic_wlasl(
+        root, num_glosses=6, clips_per_gloss=2, num_frames=20, size=(96, 96),
+        splits=["train", "test"],
+    )
+    return index, videos

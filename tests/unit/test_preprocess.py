@@ -1,0 +1,79 @@
+"""Preprocess kernel vs cv2/numpy oracle (SURVEY.md §4.2 unit strategy)."""
+
+import numpy as np
+import pytest
+
+from asltpu.config import PreprocessConfig
+from asltpu.ops.preprocess import (
+    preprocess_clip_jnp,
+    uniform_sample_indices,
+)
+
+
+def test_uniform_sample_basic():
+    idx = uniform_sample_indices(100, 16)
+    assert len(idx) == 16
+    assert idx[0] == 3 and idx[-1] == 96  # centers of 16 segments of 6.25
+    assert (np.diff(idx) > 0).all()
+
+
+def test_uniform_sample_short_clip_repeats():
+    idx = uniform_sample_indices(4, 16)
+    assert len(idx) == 16
+    assert idx.max() <= 3
+    assert set(idx) == {0, 1, 2, 3}
+
+
+def test_uniform_sample_single_frame():
+    assert (uniform_sample_indices(1, 8) == 0).all()
+
+
+def _cv2_oracle(frames_u8, cfg):
+    """The reference-family OpenCV loop: resize short side, center crop,
+    normalize."""
+    import cv2
+
+    out = []
+    for f in frames_u8:
+        h, w = f.shape[:2]
+        if h <= w:
+            rh, rw = cfg.resize_short, int(round(w * cfg.resize_short / h))
+        else:
+            rh, rw = int(round(h * cfg.resize_short / w)), cfg.resize_short
+        r = cv2.resize(f, (rw, rh), interpolation=cv2.INTER_LINEAR)
+        y0, x0 = (rh - cfg.crop) // 2, (rw - cfg.crop) // 2
+        r = r[y0 : y0 + cfg.crop, x0 : x0 + cfg.crop].astype(np.float32) / 255.0
+        r = (r - np.array(cfg.mean, np.float32)) / np.array(cfg.std, np.float32)
+        out.append(r)
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("staging", [(64, 64), (64, 80)])
+def test_preprocess_matches_cv2(rng, staging):
+    cfg = PreprocessConfig(
+        num_frames=3,
+        staging_size=staging,
+        resize_short=56,
+        crop=48,
+        out_dtype="float32",
+        use_pallas=False,
+    )
+    frames = rng.integers(0, 256, size=(2, 3, *staging, 3), dtype=np.uint8)
+    got = np.asarray(preprocess_clip_jnp(frames, cfg))
+    want = np.stack([_cv2_oracle(clip, cfg) for clip in frames])
+    assert got.shape == want.shape == (2, 3, 48, 48, 3)
+    # Bilinear implementations differ in rounding; 1e-2 in normalized units
+    # is well inside the fp32-tolerance parity contract.
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_preprocess_noop_resize(rng):
+    """When staging == resize target, only crop+normalize applies: exact."""
+    cfg = PreprocessConfig(
+        num_frames=2, staging_size=(56, 56), resize_short=56, crop=48,
+        out_dtype="float32", use_pallas=False,
+    )
+    frames = rng.integers(0, 256, size=(1, 2, 56, 56, 3), dtype=np.uint8)
+    got = np.asarray(preprocess_clip_jnp(frames, cfg))
+    want = np.stack([_cv2_oracle(clip, cfg) for clip in frames])
+    np.testing.assert_allclose(got, want, atol=1e-6)
