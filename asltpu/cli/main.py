@@ -1,0 +1,214 @@
+"""CLI (C13): ``asl predict | train | eval | bench`` — the user-facing entry
+points of the framework (SURVEY.md §1.3 CLI layer).
+
+Usage:
+  python -m asltpu.cli predict CLIP.mp4 [--model mobilenet_gru] [--ckpt DIR]
+  python -m asltpu.cli train --model i3d --index WLASL.json --videos DIR ...
+  python -m asltpu.cli eval  --model ... --index ... --videos DIR --split test
+  python -m asltpu.cli bench [bench.py args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+from asltpu.utils.logging import MetricsWriter, get_logger
+
+log = get_logger("asltpu.cli")
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", default="mobilenet_gru",
+                   help="config name (pose_bilstm | mobilenet_gru | "
+                        "resnet_transformer | i3d | two_stream)")
+    p.add_argument("--ckpt", default=None,
+                   help="orbax dir or torch .pt/.pth checkpoint")
+    p.add_argument("--num-classes", type=int, default=None)
+
+
+def _load(args):
+    from asltpu.api import load_model
+    from asltpu.config import CONFIG_REGISTRY
+
+    if args.model not in CONFIG_REGISTRY:
+        raise SystemExit(
+            f"error: unknown model '{args.model}'; choose from "
+            f"{', '.join(sorted(CONFIG_REGISTRY))}"
+        )
+    overrides = {}
+    if args.num_classes:
+        overrides["num_classes"] = args.num_classes
+    return load_model(args.model, checkpoint=args.ckpt, **overrides)
+
+
+def cmd_predict(args) -> int:
+    import os
+
+    from asltpu import api
+    from asltpu.data.wlasl import WLASLIndex
+
+    # Validate inputs BEFORE the (minutes-long) model compile.
+    missing = [c for c in args.clips if not os.path.exists(c)]
+    if missing:
+        raise SystemExit(f"error: clip(s) not found: {', '.join(missing)}")
+    model = _load(args)
+    gloss_names = None
+    if args.index:
+        ds = WLASLIndex(args.index, args.videos or "", subset=model.cfg.num_classes)
+        gloss_names = ds.glosses
+    if len(args.clips) == 1:
+        clip = api.load_clip(args.clips[0], getattr(model.cfg, "preprocess", None))
+        gloss, logits = api.predict(model, clip, gloss_names=gloss_names)
+        print(json.dumps({
+            "clip": args.clips[0], "gloss": gloss,
+            "top5": _top5(logits, gloss_names),
+        }))
+    else:
+        for path, gloss, logits in api.stream_predict(
+            model, args.clips, batch_size=args.batch, gloss_names=gloss_names
+        ):
+            print(json.dumps({
+                "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
+            }))
+    return 0
+
+
+def _top5(logits, gloss_names):
+    import numpy as np
+
+    idx = np.argsort(-logits)[:5]
+    return [
+        {"gloss": gloss_names[i] if gloss_names else int(i),
+         "logit": round(float(logits[i]), 4)}
+        for i in idx
+    ]
+
+
+def cmd_train(args) -> int:
+    import numpy as np
+
+    from asltpu.api import build_module, _dummy_inputs
+    from asltpu.config import TrainConfig, get_config
+    from asltpu.data.decode import decode_clip
+    from asltpu.data.wlasl import WLASLIndex, batches_from_records
+    from asltpu.train.loop import train
+
+    cfg = get_config(args.model, **(
+        {"num_classes": args.num_classes} if args.num_classes else {}
+    ))
+    if not hasattr(cfg, "preprocess"):
+        raise SystemExit(
+            "error: CLI training decodes RGB clips; landmark-input models "
+            "(pose_bilstm) train via the library API with precomputed "
+            "landmarks (see asltpu.train.loop.train)"
+        )
+    module = build_module(cfg)
+    tcfg = TrainConfig(
+        batch_size=args.batch,
+        num_steps=args.steps,
+        learning_rate=args.lr,
+        ckpt_dir=args.ckpt_dir,
+        log_every=args.log_every,
+        ckpt_every=args.ckpt_every,
+        fault_inject_step=args.fault_inject_step,
+    )
+    ds = WLASLIndex(args.index, args.videos, subset=cfg.num_classes)
+    records = ds.split("train")
+    if not records:
+        log.error("no train clips with videos on disk")
+        return 2
+    pp = getattr(cfg, "preprocess", None)
+
+    def batches():
+        for recs in batches_from_records(records, tcfg.batch_size, seed=tcfg.seed):
+            frames = np.stack([decode_clip(r.path, pp) for r in recs])
+            labels = np.asarray([r.label for r in recs], np.int32)
+            yield frames, labels
+
+    from asltpu.data.prefetch import Prefetcher
+
+    state = train(
+        module, tcfg, Prefetcher(batches(), depth=2), _dummy_inputs(cfg),
+        pp_cfg=pp, metric_writer=MetricsWriter(args.log_dir),
+    )
+    log.info("training done at step %d", int(state.step))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from asltpu.data.wlasl import WLASLIndex
+    from asltpu.eval.metrics import evaluate_split
+
+    # Parse the index before the (minutes-long) model compile so bad paths
+    # and empty splits fail fast.
+    ds = WLASLIndex(args.index, args.videos, subset=args.num_classes or 100)
+    if not ds.split(args.split):
+        raise SystemExit(
+            f"error: no clips with videos on disk for split '{args.split}'"
+        )
+    model = _load(args)
+    metrics = evaluate_split(
+        model, ds.split(args.split), batch_size=args.batch,
+        max_clips=args.max_clips,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    sys.argv = ["bench.py"] + args.rest
+    runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+        run_name="__main__",
+    )
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="asl", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("predict", help="predict gloss for clip(s)")
+    _add_model_args(p)
+    p.add_argument("clips", nargs="+")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--index", default=None, help="WLASL index json for gloss names")
+    p.add_argument("--videos", default=None)
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("train", help="train/fine-tune a model")
+    _add_model_args(p)
+    p.add_argument("--index", required=True)
+    p.add_argument("--videos", required=True)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=10_000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--ckpt-dir", default="/tmp/asltpu_ckpt")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--fault-inject-step", type=int, default=-1,
+                   help="raise at step N to test resume (SURVEY.md §5.3)")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="top-1/top-5 on a WLASL split")
+    _add_model_args(p)
+    p.add_argument("--index", required=True)
+    p.add_argument("--videos", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--max-clips", type=int, default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="run the north-star benchmark")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)

@@ -45,6 +45,13 @@ class PreprocessConfig:
     staging_size: Tuple[int, int] = (256, 256)  # (H, W) of host-staged frames
     resize_short: int = 256
     crop: int = 224
+    # Transfer-thin mode: the host decoder performs the short-side resize
+    # (to `host_resize_short`) AND the center crop to `staging_size` before
+    # transfer, so only crop²·T uint8 bytes cross host→device (the device
+    # then only normalizes). Mathematically the same pipeline; used when the
+    # host→device link, not compute, is the bottleneck (this v5e host's
+    # relay caps at ~37 MB/s once a model is compiled). 0 = off.
+    host_resize_short: int = 0
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
     out_dtype: str = "bfloat16"  # compute dtype the backbone consumes

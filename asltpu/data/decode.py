@@ -35,6 +35,7 @@ def decode_sampled_frames(
     path: str,
     num_frames: int,
     staging_size: Tuple[int, int],
+    host_resize_short: int = 0,
 ) -> np.ndarray:
     """Decode exactly the uniformly-sampled frames of a video.
 
@@ -51,7 +52,9 @@ def decode_sampled_frames(
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         if total <= 0:
             # Some containers don't report counts; fall back to full decode.
-            return _decode_all_then_sample(cap, num_frames, staging_size)
+            return _decode_all_then_sample(
+                cap, num_frames, staging_size, host_resize_short
+            )
         want = uniform_sample_indices(total, num_frames)
         hs, ws = staging_size
         out = np.empty((num_frames, hs, ws, 3), dtype=np.uint8)
@@ -66,7 +69,7 @@ def decode_sampled_frames(
                 ok, frame = cap.read()  # decode + convert
                 if not ok:
                     break
-                frame = _stage(frame, staging_size)
+                frame = _stage(frame, staging_size, host_resize_short)
                 for out_i in want_set[pos]:
                     out[out_i] = frame
                 last = frame
@@ -86,7 +89,9 @@ def decode_sampled_frames(
         cap.release()
 
 
-def _decode_all_then_sample(cap, num_frames, staging_size) -> np.ndarray:
+def _decode_all_then_sample(
+    cap, num_frames, staging_size, host_resize_short: int = 0
+) -> np.ndarray:
     frames = []
     while True:
         ok, frame = cap.read()
@@ -96,14 +101,33 @@ def _decode_all_then_sample(cap, num_frames, staging_size) -> np.ndarray:
     if not frames:
         raise IOError("no decodable frames")
     idx = uniform_sample_indices(len(frames), num_frames)
-    return np.stack([_stage(frames[i], staging_size) for i in idx])
+    return np.stack(
+        [_stage(frames[i], staging_size, host_resize_short) for i in idx]
+    )
 
 
-def _stage(frame_bgr: np.ndarray, staging_size: Tuple[int, int]) -> np.ndarray:
+def _stage(
+    frame_bgr: np.ndarray,
+    staging_size: Tuple[int, int],
+    host_resize_short: int = 0,
+) -> np.ndarray:
     """BGR→RGB + resize to the fixed staging resolution (device sees static
-    shapes)."""
+    shapes). With ``host_resize_short`` set (transfer-thin mode), apply the
+    short-side resize + center crop here instead of on device."""
     hs, ws = staging_size
-    if frame_bgr.shape[:2] != (hs, ws):
+    if host_resize_short:
+        h, w = frame_bgr.shape[:2]
+        if h <= w:
+            rh, rw = host_resize_short, int(round(w * host_resize_short / h))
+        else:
+            rh, rw = int(round(h * host_resize_short / w)), host_resize_short
+        if (rh, rw) != (h, w):
+            frame_bgr = cv2.resize(
+                frame_bgr, (rw, rh), interpolation=cv2.INTER_LINEAR
+            )
+        y0, x0 = (rh - hs) // 2, (rw - ws) // 2
+        frame_bgr = frame_bgr[y0 : y0 + hs, x0 : x0 + ws]
+    elif frame_bgr.shape[:2] != (hs, ws):
         frame_bgr = cv2.resize(frame_bgr, (ws, hs), interpolation=cv2.INTER_LINEAR)
     return frame_bgr[..., ::-1]  # BGR → RGB (view; copied on assignment)
 
@@ -114,7 +138,8 @@ def decode_clip(
     """Public C1 entry: video path → staged uint8 frames
     [T, Hs, Ws, 3] ready for the device preprocess kernel."""
     return decode_sampled_frames(
-        path, num_frames or cfg.num_frames, cfg.staging_size
+        path, num_frames or cfg.num_frames, cfg.staging_size,
+        cfg.host_resize_short,
     )
 
 
@@ -122,8 +147,17 @@ class DecodePool:
     """Thread pool decoding clips concurrently (cv2 releases the GIL inside
     codec work). Feeds the Prefetcher for batched/streaming inference."""
 
-    def __init__(self, cfg: PreprocessConfig, num_workers: int = 4):
+    def __init__(
+        self,
+        cfg: PreprocessConfig,
+        num_workers: int = 4,
+        limit_cv2_threads: bool = True,
+    ):
         self.cfg = cfg
+        if limit_cv2_threads and cv2 is not None:
+            # One decode thread per pool worker; OpenCV's own intra-op
+            # threading just adds oversubscription on small hosts.
+            cv2.setNumThreads(0)
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="asltpu-decode"
         )

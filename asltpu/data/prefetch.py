@@ -61,9 +61,14 @@ class Prefetcher:
     def _worker(self):
         try:
             for batch in self._host_iter:
-                # device_put returns immediately; the queue bounds how many
-                # transfers are in flight.
-                self._q.put(self._put_device(batch))
+                dev = self._put_device(batch)
+                # Block on THIS thread until the copy lands: measured on the
+                # v5e host, overlapping/async host→device copies thrash the
+                # DMA path to ~0.14 GB/s while strictly-serial blocking
+                # copies sustain ~1.2 GB/s. Serializing here still overlaps
+                # transfer with the consumer's compute.
+                jax.block_until_ready(dev)
+                self._q.put(dev)
         except BaseException as e:  # propagate to consumer
             self._err = e
         finally:

@@ -46,8 +46,11 @@ class WLASLIndex:
         subset: int = 100,
         ext: str = ".mp4",
     ):
-        if subset not in SUBSETS:
-            raise ValueError(f"subset must be one of {SUBSETS}, got {subset}")
+        # Official WLASL subsets are 100/300/1000/2000, but any positive K
+        # ("first K glosses") is accepted — needed for synthetic fixtures
+        # and custom vocabularies.
+        if subset <= 0:
+            raise ValueError(f"subset must be positive, got {subset}")
         with open(index_json) as f:
             entries = json.load(f)
         self.subset = subset

@@ -1,0 +1,49 @@
+"""Evaluation (top-1 / top-5 on WLASL splits — SURVEY.md §1.3 eval layer)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from asltpu.api import Model, stream_predict
+from asltpu.data.wlasl import ClipRecord
+
+
+def topk_accuracy(
+    logits: np.ndarray, labels: np.ndarray, ks: Sequence[int] = (1, 5)
+) -> Dict[str, float]:
+    """logits [N, C], labels [N] → {"top1": ..., "top5": ...}."""
+    order = np.argsort(-logits, axis=-1)
+    out = {}
+    for k in ks:
+        hit = (order[:, :k] == labels[:, None]).any(axis=1)
+        out[f"top{k}"] = float(hit.mean()) if len(labels) else 0.0
+    return out
+
+
+def evaluate_split(
+    model: Model,
+    records: Sequence[ClipRecord],
+    batch_size: int = 16,
+    num_decode_workers: int = 4,
+    landmarks_for=None,
+    max_clips: Optional[int] = None,
+) -> Dict[str, float]:
+    """Run streaming inference over a WLASL split and report top-1/top-5."""
+    records = [r for r in records if r.path][:max_clips]
+    paths = [r.path for r in records]
+    labels = np.asarray([r.label for r in records])
+    logits = np.stack(
+        [
+            lg
+            for _, _, lg in stream_predict(
+                model, paths, batch_size=batch_size,
+                num_decode_workers=num_decode_workers,
+                landmarks_for=landmarks_for,
+            )
+        ]
+    )
+    metrics = topk_accuracy(logits, labels)
+    metrics["num_clips"] = float(len(records))
+    return metrics

@@ -80,14 +80,35 @@ def preprocess_clip_jnp(frames_u8: jax.Array, cfg: PreprocessConfig) -> jax.Arra
     return x.reshape(b, t, cfg.crop, cfg.crop, c).astype(cfg.out_jnp_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preprocess_clip_mm(frames_u8: jax.Array, cfg: PreprocessConfig) -> jax.Array:
+    """MXU-matmul formulation (asltpu.ops.resize_mm): resize+crop as two
+    dense contractions with the normalize epilogue — the XLA-fused
+    production path when the Pallas kernel is disabled."""
+    from asltpu.ops import resize_mm
+
+    b, t, hs, ws, c = frames_u8.shape
+    rh, rw = resize_mm.resize_crop_matrices((hs, ws), cfg.resize_short, cfg.crop)
+    out = resize_mm.resize_crop_normalize(
+        frames_u8.reshape(b * t, hs, ws, c),
+        jnp.asarray(rh),
+        jnp.asarray(rw),
+        jnp.asarray(cfg.mean, jnp.float32),
+        jnp.asarray(cfg.std, jnp.float32),
+        out_dtype=cfg.out_jnp_dtype,
+    )
+    return out.reshape(b, t, cfg.crop, cfg.crop, c)
+
+
 def preprocess_clip(frames_u8: jax.Array, cfg: PreprocessConfig) -> jax.Array:
     """Production entry point — dispatches to the fused Pallas kernel on TPU
-    or the jnp reference path (CPU tests / ``use_pallas=False``)."""
-    if cfg.use_pallas and frames_u8.ndim == 5:
-        try:
-            from asltpu.ops.preprocess_pallas import preprocess_clip_pallas
+    or the MXU-matmul jnp path (CPU tests / ``use_pallas=False``)."""
+    if (
+        cfg.use_pallas
+        and frames_u8.ndim == 5
+        and jax.devices()[0].platform == "tpu"
+    ):
+        from asltpu.ops.preprocess_pallas import preprocess_clip_pallas
 
-            return preprocess_clip_pallas(frames_u8, cfg)
-        except NotImplementedError:
-            pass
-    return preprocess_clip_jnp(frames_u8, cfg)
+        return preprocess_clip_pallas(frames_u8, cfg)
+    return preprocess_clip_mm(frames_u8, cfg)

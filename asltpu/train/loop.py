@@ -80,22 +80,30 @@ def make_train_step(
     train_cfg: TrainConfig,
     pp_cfg: Optional[PreprocessConfig] = None,
     mesh=None,
+    augment=None,
 ):
     """Build the jitted train step.
 
     Signature: ``(state, frames_or_clip, labels) → (state, metrics)``.
     If ``pp_cfg`` is given, the step takes staged uint8 frames and runs the
-    fused preprocess inside the same XLA program (SURVEY.md §3.3).
+    fused preprocess — the augmented variant (random resized crop / flip /
+    color jitter, ``asltpu.ops.augment``) when ``augment`` is an
+    AugmentConfig — inside the same XLA program (SURVEY.md §3.3).
     When ``mesh`` is given, inputs are annotated batch-sharded over ``data``
     and state replicated — GSPMD inserts the grad ``psum`` over ICI.
     """
     tx = make_optimizer(train_cfg)
 
     def step_fn(state: TrainState, batch_in, labels):
-        rng, dropout_rng = jax.random.split(state.rng)
-        clip = (
-            preprocess_clip(batch_in, pp_cfg) if pp_cfg is not None else batch_in
-        )
+        rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
+        if pp_cfg is None:
+            clip = batch_in
+        elif augment is not None and augment.enabled:
+            from asltpu.ops.augment import augment_preprocess_clip
+
+            clip = augment_preprocess_clip(aug_rng, batch_in, pp_cfg, augment)
+        else:
+            clip = preprocess_clip(batch_in, pp_cfg)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -182,6 +190,7 @@ def train(
     mesh=None,
     state: Optional[TrainState] = None,
     metric_writer: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    augment=None,
 ) -> TrainState:
     """Run the training loop over an iterable of (batch_in, labels).
 
@@ -195,7 +204,7 @@ def train(
     if state is None:
         state = create_train_state(module, train_cfg, dummy_inputs, train_cfg.seed)
         state = _ckpt.try_restore_train_state(train_cfg.ckpt_dir, state)
-    step_fn = make_train_step(module, train_cfg, pp_cfg, mesh)
+    step_fn = make_train_step(module, train_cfg, pp_cfg, mesh, augment)
 
     start = int(state.step)
     t0 = time.perf_counter()

@@ -31,7 +31,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--clips", type=int, default=256, help="e2e corpus size")
     ap.add_argument("--device-iters", type=int, default=20)
-    ap.add_argument("--decode-workers", type=int, default=8)
+    ap.add_argument("--decode-workers", type=int, default=2)
     ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
 
@@ -43,9 +43,18 @@ def main() -> int:
     from asltpu.data.synthetic import write_video
     from asltpu.ops.preprocess import preprocess_clip
 
+    # Transfer-thin staging: this v5e host's relay link degrades to
+    # ~37 MB/s once any large model is compiled (infrastructure quirk —
+    # see asltpu/data/prefetch.py), so the host performs resize+crop and
+    # only crop²·T uint8 bytes cross the link. Same math, fewer bytes.
     model = load_model(
         "mobilenet_gru",
-        preprocess={"use_pallas": not args.no_pallas},
+        preprocess={
+            "use_pallas": not args.no_pallas,
+            "host_resize_short": 256,
+            "staging_size": (224, 224),
+            "resize_short": 224,
+        },
     )
     pp = model.cfg.preprocess
     fn = model.predict_fn()
@@ -55,16 +64,24 @@ def main() -> int:
         0, 256, size=(args.batch, pp.num_frames, *pp.staging_size, 3),
         dtype=np.uint8,
     )
-    logits = fn(model.variables, frames)
+    frames_dev = jax.device_put(frames)
+    logits = fn(model.variables, frames_dev)
     jax.block_until_ready(logits)
 
-    # ---- device-only throughput (staged frames → logits) ----------------
+    # ---- device-only throughput (staged frames already on device) -------
     t0 = time.perf_counter()
     for _ in range(args.device_iters):
-        logits = fn(model.variables, frames)
+        logits = fn(model.variables, frames_dev)
     jax.block_until_ready(logits)
     dt = time.perf_counter() - t0
     device_cps = args.device_iters * args.batch / dt
+
+    # ---- host→device transfer rate (serial blocking copies) -------------
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(jax.device_put(frames))
+    xfer_dt = (time.perf_counter() - t0) / 5
+    xfer_cps = args.batch / xfer_dt
 
     # ---- decode corpus --------------------------------------------------
     tmp = tempfile.mkdtemp(prefix="asltpu_bench_")
@@ -83,7 +100,11 @@ def main() -> int:
         n_dec += n_real
     decode_cps = n_dec / (time.perf_counter() - t0)
 
-    # ---- end-to-end: decode → prefetch → device -------------------------
+    # ---- end-to-end: decode pool → prefetch transfer thread → device ----
+    # Decode is CPU-bound, the relay transfer is pure iowait: the decode
+    # thread(s) and the Prefetcher's serial-blocking transfer thread overlap
+    # cleanly even on this 1-core host; device compute overlaps via JAX
+    # async dispatch.
     def host_batches():
         for batch, n_real in pool.map_batches(corpus, args.batch):
             yield batch
@@ -105,6 +126,7 @@ def main() -> int:
         "unit": "clips/sec/chip",
         "vs_baseline": round(e2e_cps / 500.0, 3),
         "device_only_clips_per_sec": round(device_cps, 2),
+        "transfer_clips_per_sec": round(xfer_cps, 2),
         "decode_only_clips_per_sec": round(decode_cps, 2),
         "batch": args.batch,
         "platform": jax.devices()[0].platform,

@@ -6,6 +6,7 @@ import pytest
 from asltpu.config import PreprocessConfig
 from asltpu.ops.preprocess import (
     preprocess_clip_jnp,
+    preprocess_clip_mm,
     uniform_sample_indices,
 )
 
@@ -65,6 +66,36 @@ def test_preprocess_matches_cv2(rng, staging):
     # Bilinear implementations differ in rounding; 1e-2 in normalized units
     # is well inside the fp32-tolerance parity contract.
     np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+@pytest.mark.parametrize("staging", [(64, 64), (64, 80), (48, 48)])
+def test_preprocess_mm_matches_cv2(rng, staging):
+    """The MXU-matmul formulation must match the cv2 oracle too (it is the
+    production device path)."""
+    cfg = PreprocessConfig(
+        num_frames=2, staging_size=staging, resize_short=56, crop=48,
+        out_dtype="float32", use_pallas=False,
+    )
+    frames = rng.integers(0, 256, size=(2, 2, *staging, 3), dtype=np.uint8)
+    got = np.asarray(preprocess_clip_mm(frames, cfg))
+    want = np.stack([_cv2_oracle(clip, cfg) for clip in frames])
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    # And against the gather-based jnp reference, tighter.
+    ref = np.asarray(preprocess_clip_jnp(frames, cfg))
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_preprocess_mm_identity_resize_exact(rng):
+    """staging == resize_short → R matrices are pure selection; result must
+    be exactly crop+normalize."""
+    cfg = PreprocessConfig(
+        num_frames=2, staging_size=(56, 56), resize_short=56, crop=48,
+        out_dtype="float32", use_pallas=False,
+    )
+    frames = rng.integers(0, 256, size=(1, 2, 56, 56, 3), dtype=np.uint8)
+    got = np.asarray(preprocess_clip_mm(frames, cfg))
+    want = np.stack([_cv2_oracle(clip, cfg) for clip in frames])
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_preprocess_noop_resize(rng):

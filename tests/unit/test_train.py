@@ -1,0 +1,104 @@
+"""Training loop: DP-mesh gradient equivalence vs single device
+(SURVEY.md §4.2 "distributed tests without a cluster"), fault-inject +
+resume, and train-step numerics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from asltpu.api import build_module
+from asltpu.config import PoseBiLSTMConfig, TrainConfig
+from asltpu.data.synthetic import synthetic_landmarks
+from asltpu.dist.mesh import make_mesh, replicated_sharding, shard_batch
+from asltpu.train.loop import (
+    FaultInjected,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    train,
+)
+
+CFG = PoseBiLSTMConfig(num_classes=8, hidden_size=16, num_frames=6, dropout=0.0)
+TCFG = TrainConfig(batch_size=8, num_steps=4, warmup_steps=1, log_every=1,
+                   ckpt_every=100, grad_clip_norm=10.0)
+DUMMY = (jnp.zeros((1, 6, 543, 3)),)
+
+
+def _batch(seed=0):
+    lm = synthetic_landmarks(8, 6, seed=seed)
+    labels = np.arange(8, dtype=np.int32) % 8
+    return lm, labels
+
+
+def test_dp_matches_single_device():
+    module = build_module(CFG)
+    state0 = create_train_state(module, TCFG, DUMMY, seed=0)
+    lm, labels = _batch()
+
+    # Single device.
+    step_1d = make_train_step(module, TCFG)
+    s1, m1 = step_1d(state0, jnp.asarray(lm), jnp.asarray(labels))
+
+    # 8-device DP mesh (virtual CPU devices from conftest).
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    state0b = create_train_state(module, TCFG, DUMMY, seed=0)
+    state0b = jax.device_put(state0b, replicated_sharding(mesh))
+    step_dp = make_train_step(module, TCFG, mesh=mesh)
+    lm_s, labels_s = shard_batch(mesh, (lm, labels))
+    s8, m8 = step_dp(state0b, lm_s, labels_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # Updated params identical within fp tolerance.
+    flat1 = jax.tree.leaves(s1.params)
+    flat8 = jax.tree.leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_loss_decreases():
+    module = build_module(CFG)
+    tcfg = TrainConfig(batch_size=8, num_steps=20, warmup_steps=2,
+                       learning_rate=3e-3, log_every=1, ckpt_every=10_000,
+                       ckpt_dir="/tmp/asltpu_nockpt_test")
+    losses = []
+    fixed = _batch(seed=1)
+
+    state = train(
+        module, tcfg, (fixed for _ in range(20)), DUMMY,
+        metric_writer=lambda s, m: losses.append(m["loss"]),
+    )
+    assert int(state.step) == 20
+    assert losses[-1] < losses[0] * 0.9  # memorizes a fixed batch
+
+
+def test_fault_inject_and_resume(tmp_path):
+    module = build_module(CFG)
+    ckdir = str(tmp_path / "ck")
+    tcfg = TrainConfig(batch_size=8, num_steps=6, warmup_steps=1, log_every=10,
+                       ckpt_every=2, ckpt_dir=ckdir, fault_inject_step=5)
+
+    def batches():
+        i = 0
+        while True:
+            yield _batch(seed=i)
+            i += 1
+
+    with pytest.raises(FaultInjected):
+        train(module, tcfg, batches(), DUMMY)
+
+    # Resume: restores the step-4 checkpoint, finishes to 6.
+    tcfg2 = TrainConfig(batch_size=8, num_steps=6, warmup_steps=1, log_every=10,
+                        ckpt_every=2, ckpt_dir=ckdir, fault_inject_step=-1)
+    state = train(module, tcfg2, batches(), DUMMY)
+    assert int(state.step) == 6
+
+
+def test_eval_step_topk():
+    module = build_module(CFG)
+    state = create_train_state(module, TCFG, DUMMY, seed=0)
+    eval_fn = make_eval_step(module)
+    lm, labels = _batch()
+    top1, top5 = eval_fn(state, jnp.asarray(lm), jnp.asarray(labels))
+    assert 0 <= int(top1) <= int(top5) <= 8
