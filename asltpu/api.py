@@ -256,12 +256,16 @@ def stream_predict(
                 yield (frames, n_real)
             cursor += n_real
 
+    pose_only = isinstance(model.cfg, PoseBiLSTMConfig)
     consumed = 0
     try:
         for item in Prefetcher(host_batches(), depth=prefetch_depth):
             if needs_lm:
                 frames, lms, n_real = item
-                logits = fn(model.variables, frames, lms)
+                if pose_only:
+                    logits = fn(model.variables, lms)
+                else:
+                    logits = fn(model.variables, frames, lms)
             else:
                 frames, n_real = item
                 logits = fn(model.variables, frames)

@@ -55,24 +55,28 @@ def cmd_predict(args) -> int:
     if missing:
         raise SystemExit(f"error: clip(s) not found: {', '.join(missing)}")
     model = _load(args)
+    landmarks_for = None
+    if model.takes_landmarks:
+        if not args.landmarks_dir:
+            raise SystemExit(
+                f"error: model '{args.model}' consumes landmarks; pass "
+                "--landmarks-dir with precomputed <video_id>.npy files"
+            )
+        from asltpu.data.landmarks import LandmarkStore
+
+        nf = getattr(model.cfg, "num_frames", 16)
+        landmarks_for = LandmarkStore(args.landmarks_dir).for_path(nf)
     gloss_names = None
     if args.index:
         ds = WLASLIndex(args.index, args.videos or "", subset=model.cfg.num_classes)
         gloss_names = ds.glosses
-    if len(args.clips) == 1:
-        clip = api.load_clip(args.clips[0], getattr(model.cfg, "preprocess", None))
-        gloss, logits = api.predict(model, clip, gloss_names=gloss_names)
+    for path, gloss, logits in api.stream_predict(
+        model, args.clips, batch_size=args.batch, gloss_names=gloss_names,
+        landmarks_for=landmarks_for,
+    ):
         print(json.dumps({
-            "clip": args.clips[0], "gloss": gloss,
-            "top5": _top5(logits, gloss_names),
+            "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
         }))
-    else:
-        for path, gloss, logits in api.stream_predict(
-            model, args.clips, batch_size=args.batch, gloss_names=gloss_names
-        ):
-            print(json.dumps({
-                "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
-            }))
     return 0
 
 
@@ -150,9 +154,20 @@ def cmd_eval(args) -> int:
             f"error: no clips with videos on disk for split '{args.split}'"
         )
     model = _load(args)
+    landmarks_for = None
+    if model.takes_landmarks:
+        if not args.landmarks_dir:
+            raise SystemExit(
+                f"error: model '{args.model}' consumes landmarks; pass "
+                "--landmarks-dir with precomputed <video_id>.npy files"
+            )
+        from asltpu.data.landmarks import LandmarkStore
+
+        nf = getattr(model.cfg, "num_frames", 16)
+        landmarks_for = LandmarkStore(args.landmarks_dir).for_path(nf)
     metrics = evaluate_split(
         model, ds.split(args.split), batch_size=args.batch,
-        max_clips=args.max_clips,
+        max_clips=args.max_clips, landmarks_for=landmarks_for,
     )
     print(json.dumps(metrics))
     return 0
@@ -180,6 +195,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--index", default=None, help="WLASL index json for gloss names")
     p.add_argument("--videos", default=None)
+    p.add_argument("--landmarks-dir", default=None,
+                   help="precomputed <video_id>.npy landmarks (pose/fusion)")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("train", help="train/fine-tune a model")
@@ -204,6 +221,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--split", default="test")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--max-clips", type=int, default=None)
+    p.add_argument("--landmarks-dir", default=None,
+                   help="precomputed <video_id>.npy landmarks (pose/fusion)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("bench", help="run the north-star benchmark")

@@ -55,7 +55,8 @@ def _kernel_constants(
 
 def _frame_kernel(x_ref, rh_ref, k_ref, scale_ref, shift_ref, out_ref):
     """One frame: [1, Hs, Ws·3] u8 → [1, crop, crop·3] out_dtype."""
-    x = x_ref[0].astype(jnp.float32)  # [Hs, Ws·3]
+    # Mosaic has no direct u8→f32 cast; hop through int32.
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [Hs, Ws·3]
     y = jnp.dot(rh_ref[:], x, preferred_element_type=jnp.float32)
     y = jnp.dot(y, k_ref[:], preferred_element_type=jnp.float32)
     y = y * scale_ref[:] + shift_ref[:]

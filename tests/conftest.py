@@ -3,7 +3,11 @@ distributed tests without a cluster). Must run before jax is imported."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# ASLTPU_TEST_TPU=1 leaves the real TPU visible (perf-regression tests);
+# default is the 8-device virtual CPU mesh.
+_USE_TPU = os.environ.get("ASLTPU_TEST_TPU") == "1"
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
@@ -14,7 +18,8 @@ import jax  # noqa: E402
 # jax_platforms="axon,cpu" at interpreter startup, overriding the env var —
 # override it back before any backend is instantiated so tests run on the
 # 8-device virtual CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
