@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--device-iters", type=int, default=20)
     ap.add_argument("--decode-workers", type=int, default=2)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument(
+        "--all-configs", action="store_true",
+        help="also measure device-path throughput of every model config",
+    )
     args = ap.parse_args()
 
     import jax
@@ -119,6 +123,10 @@ def main() -> int:
     e2e_cps = n_done / (time.perf_counter() - t0)
     pool.shutdown()
 
+    per_config = {}
+    if args.all_configs:
+        per_config = _bench_all_configs()
+
     result = {
         "metric": "e2e clips/sec/chip decode->logits (WLASL-100 16f 224^2, "
         "mobilenet_gru)",
@@ -131,8 +139,52 @@ def main() -> int:
         "batch": args.batch,
         "platform": jax.devices()[0].platform,
     }
+    if per_config:
+        result["device_clips_per_sec_by_config"] = per_config
     print(json.dumps(result))
     return 0
+
+
+def _bench_all_configs():
+    """Device-path (staged input → logits) throughput of every config at its
+    contract shapes."""
+    import jax
+    import numpy as np
+
+    from asltpu.api import load_model
+    from asltpu.data.synthetic import synthetic_landmarks
+
+    plans = [
+        ("pose_bilstm", 64, {}),
+        ("resnet_transformer", 16, {}),
+        ("i3d", 4, {}),
+        ("two_stream", 16, {}),
+    ]
+    out = {}
+    for name, bsz, overrides in plans:
+        model = load_model(name, **overrides)
+        fn = model.predict_fn()
+        nf = getattr(model.cfg, "num_frames", 16)
+        inputs = []
+        if model.takes_rgb:
+            pp = model.cfg.preprocess
+            inputs.append(jax.device_put(np.random.randint(
+                0, 256, (bsz, pp.num_frames, *pp.staging_size, 3), np.uint8
+            )))
+        if model.takes_landmarks:
+            inputs.append(jax.device_put(
+                synthetic_landmarks(bsz, nf, seed=0)
+            ))
+        jax.block_until_ready(fn(model.variables, *inputs))
+        import time as _t
+
+        iters = 10
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            r = fn(model.variables, *inputs)
+        jax.block_until_ready(r)
+        out[name] = round(iters * bsz / (_t.perf_counter() - t0), 1)
+    return out
 
 
 if __name__ == "__main__":
