@@ -266,6 +266,67 @@ def _assign(node: Dict, key: str, value: np.ndarray):
     node[key] = jnp.asarray(value, dtype=old.dtype)
 
 
+def import_transformer_head(
+    sd: Dict[str, np.ndarray],
+    variables: Variables,
+    flax_prefix: str,
+    num_layers: int,
+    num_heads: int,
+) -> Variables:
+    """torch transformer-encoder twin → our TransformerHead names.
+
+    Expected torch naming: ``cls``, ``pos``, optional ``in_proj`` Linear,
+    ``layers.{i}.{ln1,ln2}`` LayerNorms, ``layers.{i}.attn`` a
+    ``nn.MultiheadAttention`` (batch_first), ``layers.{i}.{mlp1,mlp2}``
+    Linears, ``final_ln``, ``fc``.
+
+    MHA mapping: ``in_proj_weight [3d, d]`` rows are q;k;v — each maps to a
+    flax kernel ``[d, heads, head_dim]`` via transpose+reshape;
+    ``out_proj.weight [d, d]`` maps to ``[heads, head_dim, d]``.
+    """
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    p = variables["params"]
+    for node in flax_prefix.split("/"):
+        if node:
+            p = p[node]
+    d = sd["final_ln.weight"].shape[0]
+    hd = d // num_heads
+
+    def set_(path, val):
+        _set(p, path, val)
+
+    set_("cls", sd["cls"])
+    set_("pos", sd["pos"])
+    if "in_proj.weight" in sd:
+        set_("in_proj/kernel", linear_kernel(sd["in_proj.weight"]))
+        set_("in_proj/bias", sd["in_proj.bias"])
+    for i in range(num_layers):
+        t = f"layers.{i}"
+        set_(f"layer{i}/ln1/scale", sd[f"{t}.ln1.weight"])
+        set_(f"layer{i}/ln1/bias", sd[f"{t}.ln1.bias"])
+        set_(f"layer{i}/ln2/scale", sd[f"{t}.ln2.weight"])
+        set_(f"layer{i}/ln2/bias", sd[f"{t}.ln2.bias"])
+        w = sd[f"{t}.attn.in_proj_weight"]  # [3d, d]
+        bqkv = sd[f"{t}.attn.in_proj_bias"]  # [3d]
+        for j, name in enumerate(["query", "key", "value"]):
+            set_(f"layer{i}/attn/{name}/kernel",
+                 w[j * d : (j + 1) * d].T.reshape(d, num_heads, hd))
+            set_(f"layer{i}/attn/{name}/bias",
+                 bqkv[j * d : (j + 1) * d].reshape(num_heads, hd))
+        ow = sd[f"{t}.attn.out_proj.weight"]  # [d, d]
+        set_(f"layer{i}/attn/out/kernel", ow.T.reshape(num_heads, hd, d))
+        set_(f"layer{i}/attn/out/bias", sd[f"{t}.attn.out_proj.bias"])
+        set_(f"layer{i}/mlp1/kernel", linear_kernel(sd[f"{t}.mlp1.weight"]))
+        set_(f"layer{i}/mlp1/bias", sd[f"{t}.mlp1.bias"])
+        set_(f"layer{i}/mlp2/kernel", linear_kernel(sd[f"{t}.mlp2.weight"]))
+        set_(f"layer{i}/mlp2/bias", sd[f"{t}.mlp2.bias"])
+    set_("final_ln/scale", sd["final_ln.weight"])
+    set_("final_ln/bias", sd["final_ln.bias"])
+    set_("fc/kernel", linear_kernel(sd["fc.weight"]))
+    set_("fc/bias", sd["fc.bias"])
+    return jax.tree.map(jnp.asarray, variables)
+
+
 def import_i3d(
     sd: Dict[str, np.ndarray], variables: Variables
 ) -> Variables:
@@ -308,7 +369,16 @@ def load_torch_checkpoint(
             v = _import_linear(sd, v, "fc", "head/fc")
         return v
     if isinstance(cfg, ResNet18TransformerConfig):
-        return import_resnet18(sd, variables, prefix="backbone")
+        v = import_resnet18(sd, variables, prefix="backbone")
+        head_sd = {
+            k.removeprefix("head."): x for k, x in sd.items()
+            if k.startswith("head.")
+        }
+        if head_sd:
+            v = import_transformer_head(
+                head_sd, v, "head", cfg.num_tx_layers, cfg.num_heads
+            )
+        return v
     if isinstance(cfg, PoseBiLSTMConfig):
         v = import_torch_rnn(
             {k.removeprefix("lstm."): x for k, x in sd.items() if k.startswith("lstm.")},

@@ -29,9 +29,9 @@ class CrossAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, a, b, train: bool = False):
         def xattn(q_in, kv_in, name):
-            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                              name=f"{name}_lnq")(q_in)
-            kv = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                               name=f"{name}_lnkv")(kv_in)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype,
@@ -41,11 +41,11 @@ class CrossAttentionBlock(nn.Module):
             return q_in + nn.Dropout(self.dropout, deterministic=not train)(y)
 
         def mlp(x, name):
-            y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                              name=f"{name}_ln")(x)
             y = nn.Dense(4 * self.d_model, dtype=self.dtype,
                          param_dtype=jnp.float32, name=f"{name}_fc1")(y)
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=False)  # exact erf (torch parity)
             y = nn.Dense(self.d_model, dtype=self.dtype,
                          param_dtype=jnp.float32, name=f"{name}_fc2")(y)
             return x + nn.Dropout(self.dropout, deterministic=not train)(y)

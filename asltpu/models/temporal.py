@@ -90,7 +90,7 @@ class TransformerHead(nn.Module):
                 self.d_model, self.num_heads, self.mlp_ratio, self.dropout,
                 self.dtype, name=f"layer{i}",
             )(x, train)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="final_ln")(x)
         cls_out = x[:, 0].astype(jnp.float32)
         return nn.Dense(self.num_classes, param_dtype=jnp.float32, name="fc")(cls_out)
 
@@ -104,7 +104,7 @@ class _EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="ln1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
@@ -115,10 +115,10 @@ class _EncoderBlock(nn.Module):
         )(y, y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="ln2")(x)
         y = nn.Dense(self.d_model * self.mlp_ratio, dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # exact erf (torch parity)
         y = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
