@@ -34,6 +34,7 @@ from asltpu.config import (
     ModelConfig,
     PoseBiLSTMConfig,
     ResNet18TransformerConfig,
+    TwoStreamFusionConfig,
 )
 
 Variables = Dict[str, Any]
@@ -327,6 +328,59 @@ def import_transformer_head(
     return jax.tree.map(jnp.asarray, variables)
 
 
+def _import_mha(
+    p: Dict, flax_prefix: str, sd: Dict[str, np.ndarray], torch_prefix: str,
+    num_heads: int,
+):
+    """torch nn.MultiheadAttention → flax MultiHeadDotProductAttention."""
+    w = sd[f"{torch_prefix}.in_proj_weight"]
+    bqkv = sd[f"{torch_prefix}.in_proj_bias"]
+    d = w.shape[1]
+    hd = d // num_heads
+    for j, name in enumerate(["query", "key", "value"]):
+        _set(p, f"{flax_prefix}/{name}/kernel",
+             w[j * d : (j + 1) * d].T.reshape(d, num_heads, hd))
+        _set(p, f"{flax_prefix}/{name}/bias",
+             bqkv[j * d : (j + 1) * d].reshape(num_heads, hd))
+    _set(p, f"{flax_prefix}/out/kernel",
+         sd[f"{torch_prefix}.out_proj.weight"].T.reshape(num_heads, hd, d))
+    _set(p, f"{flax_prefix}/out/bias", sd[f"{torch_prefix}.out_proj.bias"])
+
+
+def import_two_stream(
+    sd: Dict[str, np.ndarray], variables: Variables, num_layers: int,
+    num_heads: int,
+) -> Variables:
+    """Two-stream fusion twin → our TwoStreamFusion names. Expected torch
+    naming: ``features.*`` (torchvision MobileNetV2 layout for the RGB
+    backbone), ``rgb_proj``/``kp_proj``/``fc`` Linears, ``pos``,
+    ``fusion.{i}.{a_from_b,b_from_a}_{lnq,lnkv,attn}`` and
+    ``fusion.{i}.{a,b}_mlp_{ln,fc1,fc2}``."""
+    variables = import_mobilenetv2(sd, variables, prefix="rgb_backbone")
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    p = variables["params"]
+    _set(p, "pos", sd["pos"])
+    for name in ["rgb_proj", "kp_proj", "fc"]:
+        _set(p, f"{name}/kernel", linear_kernel(sd[f"{name}.weight"]))
+        _set(p, f"{name}/bias", sd[f"{name}.bias"])
+    for i in range(num_layers):
+        t = f"fusion.{i}"
+        f = f"fusion{i}"
+        for d_ in ["a_from_b", "b_from_a"]:
+            for ln in ["lnq", "lnkv"]:
+                _set(p, f"{f}/{d_}_{ln}/scale", sd[f"{t}.{d_}_{ln}.weight"])
+                _set(p, f"{f}/{d_}_{ln}/bias", sd[f"{t}.{d_}_{ln}.bias"])
+            _import_mha(p, f"{f}/{d_}_attn", sd, f"{t}.{d_}_attn", num_heads)
+        for s_ in ["a_mlp", "b_mlp"]:
+            _set(p, f"{f}/{s_}_ln/scale", sd[f"{t}.{s_}_ln.weight"])
+            _set(p, f"{f}/{s_}_ln/bias", sd[f"{t}.{s_}_ln.bias"])
+            for fc in ["fc1", "fc2"]:
+                _set(p, f"{f}/{s_}_{fc}/kernel",
+                     linear_kernel(sd[f"{t}.{s_}_{fc}.weight"]))
+                _set(p, f"{f}/{s_}_{fc}/bias", sd[f"{t}.{s_}_{fc}.bias"])
+    return jax.tree.map(jnp.asarray, variables)
+
+
 def import_i3d(
     sd: Dict[str, np.ndarray], variables: Variables
 ) -> Variables:
@@ -389,6 +443,10 @@ def load_torch_checkpoint(
         return v
     if isinstance(cfg, I3DConfig):
         return import_i3d(sd, variables)
+    if isinstance(cfg, TwoStreamFusionConfig):
+        return import_two_stream(
+            sd, variables, cfg.num_fusion_layers, cfg.num_heads
+        )
     raise NotImplementedError(f"torch import for {type(cfg).__name__}")
 
 

@@ -173,6 +173,31 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_landmarks(args) -> int:
+    """Dataset-prep: extract + store landmarks for a WLASL split (C4)."""
+    from asltpu.data.landmarks import (
+        LandmarkStore,
+        MediaPipeExtractor,
+        SyntheticExtractor,
+        precompute_landmarks,
+    )
+    from asltpu.data.wlasl import WLASLIndex
+
+    ds = WLASLIndex(args.index, args.videos, subset=args.num_classes)
+    records = [r for s in args.splits.split(",") for r in ds.split(s)]
+    if not records:
+        raise SystemExit("error: no clips with videos on disk")
+    if args.extractor == "mediapipe":
+        extractor = MediaPipeExtractor()
+    else:
+        extractor = SyntheticExtractor(num_frames=64)
+    store = LandmarkStore(args.out)
+    n = precompute_landmarks(records, store, extractor,
+                             overwrite=args.overwrite)
+    print(json.dumps({"written": n, "store": args.out}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -224,6 +249,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--landmarks-dir", default=None,
                    help="precomputed <video_id>.npy landmarks (pose/fusion)")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("landmarks", help="precompute pose landmarks (C4)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--videos", required=True)
+    p.add_argument("--out", required=True, help="output .npy store dir")
+    p.add_argument("--num-classes", type=int, default=100)
+    p.add_argument("--splits", default="train,val,test")
+    p.add_argument("--extractor", choices=["mediapipe", "synthetic"],
+                   default="mediapipe")
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_landmarks)
 
     p = sub.add_parser("bench", help="run the north-star benchmark")
     p.add_argument("rest", nargs=argparse.REMAINDER)
