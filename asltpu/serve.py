@@ -1,0 +1,185 @@
+"""Production serving layer: dynamic-batching predictor (config #5's
+"batched streaming inference" contract, ``BASELINE.json:10``, as a
+long-running service rather than a one-shot generator).
+
+Design for TPU serving:
+  - ONE compiled program at a fixed ``max_batch`` (compile once; partial
+    batches are padded — XLA static shapes make per-size recompiles the
+    alternative, and padding a bandwidth-bound model is cheaper).
+  - A single batcher thread owns the device: it drains the request queue up
+    to ``max_batch`` or ``max_delay_ms``, stages the batch, runs the jitted
+    predict, and fulfills per-request futures. Transfers stay serial
+    (fastest path on this host — see asltpu.data.prefetch).
+  - Decode happens in the caller / decode pool BEFORE submit (requests carry
+    staged frames), so slow codecs never stall the device thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from asltpu.api import Model
+from asltpu.config import PoseBiLSTMConfig, TwoStreamFusionConfig
+
+
+@dataclasses.dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    padded_slots: int = 0
+    total_latency_s: float = 0.0
+
+    @property
+    def avg_batch_size(self) -> float:
+        return self.requests / self.batches if self.batches else 0.0
+
+    @property
+    def avg_latency_ms(self) -> float:
+        return 1e3 * self.total_latency_s / self.requests if self.requests else 0.0
+
+
+class _Request:
+    __slots__ = ("frames", "landmarks", "future", "t_submit")
+
+    def __init__(self, frames, landmarks):
+        self.frames = frames
+        self.landmarks = landmarks
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+
+
+class PredictServer:
+    """Dynamic-batching inference server over a loaded model.
+
+    Usage::
+
+        server = PredictServer(model, max_batch=32, max_delay_ms=10)
+        fut = server.submit(staged_frames)          # non-blocking
+        gloss_id, logits = fut.result()
+        server.shutdown()
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        max_batch: int = 32,
+        max_delay_ms: float = 10.0,
+        gloss_names: Optional[List[str]] = None,
+    ):
+        self.model = model
+        self.max_batch = max_batch
+        self.max_delay_s = max_delay_ms / 1e3
+        self.gloss_names = gloss_names
+        self.stats = ServerStats()
+        self._fn = model.predict_fn()
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._running = True
+        self._thread = threading.Thread(
+            target=self._loop, name="asltpu-serve", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(
+        self,
+        frames: Optional[np.ndarray] = None,
+        landmarks: Optional[np.ndarray] = None,
+    ) -> Future:
+        """Enqueue one clip (staged frames [T,Hs,Ws,3] u8 and/or landmarks
+        [T,543,3]); returns a Future of (gloss, logits)."""
+        if self.model.takes_rgb and frames is None:
+            raise ValueError("model requires RGB frames")
+        if self.model.takes_landmarks and landmarks is None:
+            raise ValueError("model requires landmarks")
+        if not self._running:
+            raise RuntimeError("server is shut down")
+        req = _Request(frames, landmarks)
+        self._q.put(req)
+        return req.future
+
+    def shutdown(self, wait: bool = True):
+        self._running = False
+        self._q.put(None)
+        if wait:
+            self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then drain up to max_batch or until
+        max_delay elapses."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # re-signal shutdown for the outer loop
+                break
+            batch.append(item)
+        return batch
+
+    def _assemble(self, reqs: List[_Request]) -> Tuple[Any, ...]:
+        pad = self.max_batch - len(reqs)
+        args = []
+        if self.model.takes_rgb:
+            frames = np.stack([r.frames for r in reqs])
+            if pad:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], pad, axis=0)]
+                )
+            args.append(frames)
+        if self.model.takes_landmarks:
+            lms = np.stack([r.landmarks for r in reqs]).astype(np.float32)
+            if pad:
+                lms = np.concatenate([lms, np.repeat(lms[-1:], pad, axis=0)])
+            args.append(lms)
+        self.stats.padded_slots += pad
+        return tuple(args)
+
+    def _loop(self):
+        import jax
+
+        pose_only = isinstance(self.model.cfg, PoseBiLSTMConfig)
+        while True:
+            reqs = self._collect()
+            if not reqs:
+                break
+            try:
+                args = self._assemble(reqs)
+                if pose_only:
+                    logits = self._fn(self.model.variables, args[-1])
+                else:
+                    logits = self._fn(self.model.variables, *args)
+                logits = np.asarray(jax.device_get(logits))[: len(reqs)]
+                ids = logits.argmax(axis=-1)
+                now = time.perf_counter()
+                for i, r in enumerate(reqs):
+                    gloss = (
+                        self.gloss_names[ids[i]]
+                        if self.gloss_names
+                        else int(ids[i])
+                    )
+                    self.stats.total_latency_s += now - r.t_submit
+                    r.future.set_result((gloss, logits[i]))
+                self.stats.requests += len(reqs)
+                self.stats.batches += 1
+            except Exception as e:  # fail the whole batch, keep serving
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+        self._running = False

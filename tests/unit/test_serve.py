@@ -1,0 +1,84 @@
+"""Dynamic-batching predict server: correctness vs one-shot predict,
+concurrency, padding, pose models, shutdown/error behavior."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from asltpu import api
+from asltpu.data.synthetic import synthetic_landmarks
+from asltpu.serve import PredictServer
+
+
+@pytest.fixture(scope="module")
+def rgb_model():
+    return api.load_model(
+        "mobilenet_gru", num_classes=6, gru_hidden=32,
+        preprocess={"num_frames": 4, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
+    )
+
+
+def _frames(seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(4, 64, 64, 3), dtype=np.uint8)
+
+
+def test_serve_matches_predict(rgb_model):
+    server = PredictServer(rgb_model, max_batch=4, max_delay_ms=5)
+    try:
+        frames = [_frames(i) for i in range(6)]
+        futs = [server.submit(f) for f in frames]
+        results = [f.result(timeout=120) for f in futs]
+        for f_in, (gloss, logits) in zip(frames, results):
+            _, want = api.predict(rgb_model, f_in)
+            np.testing.assert_allclose(logits, want, atol=2e-2)
+        assert server.stats.requests == 6
+        assert server.stats.batches >= 2  # max_batch=4 forces ≥2 batches
+    finally:
+        server.shutdown()
+
+
+def test_serve_concurrent_submitters(rgb_model):
+    server = PredictServer(rgb_model, max_batch=8, max_delay_ms=10)
+    results = {}
+
+    def client(i):
+        results[i] = server.submit(_frames(100 + i)).result(timeout=120)
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 10
+        assert all(np.isfinite(lg).all() for _, lg in results.values())
+        assert server.stats.avg_batch_size > 1.0  # batching actually happened
+    finally:
+        server.shutdown()
+
+
+def test_serve_pose_model():
+    model = api.load_model("pose_bilstm", num_classes=6, hidden_size=16,
+                           num_frames=8)
+    server = PredictServer(model, max_batch=4, max_delay_ms=5)
+    try:
+        lm = synthetic_landmarks(1, 8, seed=0)[0]
+        gloss, logits = server.submit(landmarks=lm).result(timeout=120)
+        _, want = api.predict(model, lm)
+        np.testing.assert_allclose(logits, want, atol=1e-4)
+    finally:
+        server.shutdown()
+
+
+def test_serve_validates_inputs(rgb_model):
+    server = PredictServer(rgb_model, max_batch=2)
+    try:
+        with pytest.raises(ValueError, match="requires RGB"):
+            server.submit(landmarks=synthetic_landmarks(1, 4)[0])
+    finally:
+        server.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        server.submit(_frames(0))
