@@ -132,11 +132,17 @@ def cmd_train(args) -> int:
             labels = np.asarray([r.label for r in recs], np.int32)
             yield frames, labels
 
+    if args.debug_nans:
+        from asltpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
     from asltpu.data.prefetch import Prefetcher
+    from asltpu.ops.augment import AugmentConfig
 
     state = train(
         module, tcfg, Prefetcher(batches(), depth=2), _dummy_inputs(cfg),
         pp_cfg=pp, metric_writer=MetricsWriter(args.log_dir),
+        augment=None if args.no_augment else AugmentConfig(),
     )
     log.info("training done at step %d", int(state.step))
     return 0
@@ -237,6 +243,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--fault-inject-step", type=int, default=-1,
                    help="raise at step N to test resume (SURVEY.md §5.3)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5.2 debug mode)")
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable train-time augmentation")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="top-1/top-5 on a WLASL split")
