@@ -117,6 +117,7 @@ def cmd_train(args) -> int:
         ckpt_dir=args.ckpt_dir,
         log_every=args.log_every,
         ckpt_every=args.ckpt_every,
+        eval_every=args.eval_every,
         fault_inject_step=args.fault_inject_step,
     )
     ds = WLASLIndex(args.index, args.videos, subset=cfg.num_classes)
@@ -139,10 +140,21 @@ def cmd_train(args) -> int:
     from asltpu.data.prefetch import Prefetcher
     from asltpu.ops.augment import AugmentConfig
 
+    eval_batches = None
+    eval_records = ds.split(args.eval_split) if args.eval_split else []
+    if eval_records:
+        def eval_batches():
+            for i in range(0, len(eval_records) - tcfg.batch_size + 1,
+                           tcfg.batch_size):
+                recs = eval_records[i : i + tcfg.batch_size]
+                yield (np.stack([decode_clip(r.path, pp) for r in recs]),
+                       np.asarray([r.label for r in recs], np.int32))
+
     state = train(
         module, tcfg, Prefetcher(batches(), depth=2), _dummy_inputs(cfg),
         pp_cfg=pp, metric_writer=MetricsWriter(args.log_dir),
         augment=None if args.no_augment else AugmentConfig(),
+        eval_batches=eval_batches,
     )
     log.info("training done at step %d", int(state.step))
     return 0
@@ -245,6 +257,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="raise at step N to test resume (SURVEY.md §5.3)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2 debug mode)")
+    p.add_argument("--eval-split", default=None,
+                   help="run top-1/top-5 on this split every --eval-every")
+    p.add_argument("--eval-every", type=int, default=1000)
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time augmentation")
     p.set_defaults(fn=cmd_train)

@@ -191,11 +191,14 @@ def train(
     state: Optional[TrainState] = None,
     metric_writer: Optional[Callable[[int, Dict[str, float]], None]] = None,
     augment=None,
+    eval_batches: Optional[Callable[[], Iterable[Tuple[Any, Any]]]] = None,
 ) -> TrainState:
     """Run the training loop over an iterable of (batch_in, labels).
 
     Handles checkpoint/resume via orbax (``train_cfg.ckpt_dir``), periodic
-    metrics, and fault injection for resume testing.
+    metrics, fault injection for resume testing, and — when
+    ``eval_batches`` (a zero-arg callable yielding (batch_in, labels)) is
+    given — periodic validation every ``train_cfg.eval_every`` steps.
     """
     from asltpu import ckpt as _ckpt
 
@@ -205,6 +208,25 @@ def train(
         state = create_train_state(module, train_cfg, dummy_inputs, train_cfg.seed)
         state = _ckpt.try_restore_train_state(train_cfg.ckpt_dir, state)
     step_fn = make_train_step(module, train_cfg, pp_cfg, mesh, augment)
+    eval_fn = (
+        make_eval_step(module, pp_cfg, mesh) if eval_batches is not None else None
+    )
+
+    def run_eval(state, step):
+        n = top1 = top5 = 0
+        for batch_in, labels in eval_batches():
+            t1, t5 = eval_fn(state, batch_in, labels)
+            top1 += int(t1)
+            top5 += int(t5)
+            n += len(labels)
+        metrics = {
+            "eval_top1": top1 / max(n, 1),
+            "eval_top5": top5 / max(n, 1),
+            "eval_clips": float(n),
+        }
+        if metric_writer:
+            metric_writer(step, metrics)
+        return metrics
 
     start = int(state.step)
     t0 = time.perf_counter()
@@ -222,6 +244,10 @@ def train(
             t0 = time.perf_counter()
             if metric_writer:
                 metric_writer(step + 1, m)
+        if eval_fn is not None and (step + 1) % train_cfg.eval_every == 0:
+            run_eval(state, step + 1)
         if (step + 1) % train_cfg.ckpt_every == 0:
             _ckpt.save_train_state(train_cfg.ckpt_dir, state)
+    if eval_fn is not None:
+        run_eval(state, int(state.step))
     return state

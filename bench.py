@@ -37,6 +37,11 @@ def main() -> int:
         "--all-configs", action="store_true",
         help="also measure device-path throughput of every model config",
     )
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler TPU trace of the device loop into DIR "
+        "(view in TensorBoard/Perfetto)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -73,11 +78,19 @@ def main() -> int:
     jax.block_until_ready(logits)
 
     # ---- device-only throughput (staged frames already on device) -------
-    t0 = time.perf_counter()
-    for _ in range(args.device_iters):
-        logits = fn(model.variables, frames_dev)
-    jax.block_until_ready(logits)
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    from asltpu.utils.profiling import trace as profiler_trace
+
+    trace_cm = (
+        profiler_trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
+    with trace_cm:
+        t0 = time.perf_counter()
+        for _ in range(args.device_iters):
+            logits = fn(model.variables, frames_dev)
+        jax.block_until_ready(logits)
+        dt = time.perf_counter() - t0
     device_cps = args.device_iters * args.batch / dt
 
     # ---- host→device transfer rate (serial blocking copies) -------------

@@ -95,6 +95,31 @@ def test_fault_inject_and_resume(tmp_path):
     assert int(state.step) == 6
 
 
+def test_train_with_periodic_eval():
+    module = build_module(CFG)
+    tcfg = TrainConfig(batch_size=8, num_steps=6, warmup_steps=1,
+                       learning_rate=3e-3, log_every=100, eval_every=3,
+                       ckpt_every=10_000, ckpt_dir="/tmp/asltpu_nock2")
+    fixed = _batch(seed=2)
+    evals = []
+
+    def writer(step, metrics):
+        if "eval_top1" in metrics:
+            evals.append((step, metrics))
+
+    state = train(
+        module, tcfg, (fixed for _ in range(6)), DUMMY,
+        metric_writer=writer,
+        eval_batches=lambda: [fixed, _batch(seed=3)],
+    )
+    assert int(state.step) == 6
+    # eval at steps 3, 6 and the final eval (step 6 again).
+    assert [s for s, _ in evals] == [3, 6, 6]
+    for _, m in evals:
+        assert m["eval_clips"] == 16.0
+        assert 0.0 <= m["eval_top1"] <= m["eval_top5"] <= 1.0
+
+
 def test_eval_step_topk():
     module = build_module(CFG)
     state = create_train_state(module, TCFG, DUMMY, seed=0)
