@@ -21,7 +21,6 @@ fails here first"):
 from __future__ import annotations
 
 import os
-import re
 from typing import Any, Dict
 
 import jax

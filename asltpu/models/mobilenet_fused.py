@@ -30,7 +30,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from asltpu.models.mobilenetv2 import _INVERTED_RESIDUAL_SCHEDULE, _make_divisible
+from asltpu.models.mobilenetv2 import _INVERTED_RESIDUAL_SCHEDULE
 from asltpu.ops.mbconv_pallas import fold_bn, fused_mbconv_s1
 
 

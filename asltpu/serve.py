@@ -21,12 +21,12 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
 from asltpu.api import Model
-from asltpu.config import PoseBiLSTMConfig, TwoStreamFusionConfig
+from asltpu.config import PoseBiLSTMConfig
 
 
 @dataclasses.dataclass

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from asltpu.config import ModelConfig, PreprocessConfig, TrainConfig
+from asltpu.config import PreprocessConfig, TrainConfig
 from asltpu.dist.mesh import batch_sharding, make_mesh, replicated_sharding
 from asltpu.ops.preprocess import preprocess_clip
 

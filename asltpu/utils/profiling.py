@@ -4,7 +4,7 @@ named scopes + a NaN-debug mode flag."""
 from __future__ import annotations
 
 import contextlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 

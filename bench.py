@@ -50,7 +50,6 @@ def main() -> int:
     from asltpu.data.decode import DecodePool
     from asltpu.data.prefetch import Prefetcher
     from asltpu.data.synthetic import write_video
-    from asltpu.ops.preprocess import preprocess_clip
 
     # Transfer-thin staging: this v5e host's relay link degrades to
     # ~37 MB/s once any large model is compiled (infrastructure quirk —
