@@ -100,9 +100,23 @@ def cmd_train(args) -> int:
     from asltpu.data.wlasl import WLASLIndex, batches_from_records
     from asltpu.train.loop import train
 
-    cfg = get_config(args.model, **(
-        {"num_classes": args.num_classes} if args.num_classes else {}
-    ))
+    overrides = {}
+    if args.num_classes:
+        overrides["num_classes"] = args.num_classes
+    pp_overrides = {}
+    if args.frames:
+        pp_overrides["num_frames"] = args.frames
+    if args.crop:
+        # Keep the aspect chain consistent: staging/resize scale with crop
+        # by the standard 256/224 ratio.
+        pp_overrides.update(
+            crop=args.crop,
+            resize_short=round(args.crop * 256 / 224),
+            staging_size=(round(args.crop * 256 / 224),) * 2,
+        )
+    if pp_overrides:
+        overrides["preprocess"] = pp_overrides
+    cfg = get_config(args.model, **overrides)
     if not hasattr(cfg, "preprocess"):
         raise SystemExit(
             "error: CLI training decodes RGB clips; landmark-input models "
@@ -260,6 +274,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--eval-split", default=None,
                    help="run top-1/top-5 on this split every --eval-every")
     p.add_argument("--eval-every", type=int, default=1000)
+    p.add_argument("--frames", type=int, default=None,
+                   help="override clip frame count")
+    p.add_argument("--crop", type=int, default=None,
+                   help="override crop size (staging/resize scale with it)")
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time augmentation")
     p.set_defaults(fn=cmd_train)
