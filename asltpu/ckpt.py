@@ -56,7 +56,11 @@ def save_variables(directory: str, variables: Variables, step: int = 0) -> str:
 
 def restore_variables(directory: str, template: Variables) -> Variables:
     """Restore variables saved by :func:`save_variables`. ``directory`` may
-    be the step dir itself or its parent (latest step picked)."""
+    be the step dir itself or its parent (latest step picked).
+
+    Also accepts TRAINING checkpoints (:func:`save_train_state` layout —
+    params/opt_state/step/rng): the model collections are projected out so
+    a fine-tuned checkpoint loads directly for inference."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(directory)
@@ -68,7 +72,21 @@ def restore_variables(directory: str, template: Variables) -> Variables:
             raise FileNotFoundError(f"no checkpoint steps under {path}")
         path = os.path.join(path, str(steps[0]))
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, jax.device_get(template))
+        try:
+            return ckptr.restore(path, jax.device_get(template))
+        except ValueError:
+            pass  # tree-structure mismatch → try train-state projection
+    raw = ocp.PyTreeCheckpointer().restore(path)
+    out = {}
+    for key, tmpl in template.items():
+        if key in raw and raw[key]:
+            # Validate structure/shape against the template while casting.
+            out[key] = jax.tree.map(
+                lambda t, r: jnp.asarray(r, t.dtype), tmpl, raw[key]
+            )
+        else:
+            out[key] = tmpl  # e.g. stats absent in the checkpoint
+    return out
 
 
 def _is_step_dir(path: str) -> bool:
