@@ -242,11 +242,16 @@ def stream_predict(
     pool = DecodePool(pp, num_workers=num_decode_workers)
     fn = model.predict_fn()
 
+    # Items may be video paths or ClipRecords (frame segment + bbox honored
+    # by the decode pool); results are keyed by the display path either way.
+    items = list(paths)
+    paths = [it.path if hasattr(it, "path") else it for it in items]
+
     needs_lm = model.takes_landmarks
 
     def host_batches():
         cursor = 0
-        for frames, n_real in pool.map_batches(paths, batch_size):
+        for frames, n_real in pool.map_batches(items, batch_size):
             if needs_lm:
                 batch_paths = list(paths[cursor : cursor + n_real])
                 batch_paths += [batch_paths[-1]] * (frames.shape[0] - n_real)

@@ -96,7 +96,7 @@ def cmd_train(args) -> int:
 
     from asltpu.api import build_module, _dummy_inputs
     from asltpu.config import TrainConfig, get_config
-    from asltpu.data.decode import decode_clip
+    from asltpu.data.decode import decode_clip, decode_record
     from asltpu.data.wlasl import WLASLIndex, batches_from_records
     from asltpu.train.loop import train
 
@@ -143,7 +143,7 @@ def cmd_train(args) -> int:
 
     def batches():
         for recs in batches_from_records(records, tcfg.batch_size, seed=tcfg.seed):
-            frames = np.stack([decode_clip(r.path, pp) for r in recs])
+            frames = np.stack([decode_record(r, pp) for r in recs])
             labels = np.asarray([r.label for r in recs], np.int32)
             yield frames, labels
 
@@ -161,7 +161,7 @@ def cmd_train(args) -> int:
             for i in range(0, len(eval_records) - tcfg.batch_size + 1,
                            tcfg.batch_size):
                 recs = eval_records[i : i + tcfg.batch_size]
-                yield (np.stack([decode_clip(r.path, pp) for r in recs]),
+                yield (np.stack([decode_record(r, pp) for r in recs]),
                        np.asarray([r.label for r in recs], np.int32))
 
     state = train(

@@ -36,10 +36,15 @@ def decode_sampled_frames(
     num_frames: int,
     staging_size: Tuple[int, int],
     host_resize_short: int = 0,
+    frame_start: int = 1,
+    frame_end: int = -1,
+    bbox: Optional[Tuple[int, int, int, int]] = None,
 ) -> np.ndarray:
-    """Decode exactly the uniformly-sampled frames of a video.
+    """Decode exactly the uniformly-sampled frames of a video segment.
 
-    Returns uint8 RGB [T, Hs, Ws, 3] at the staging resolution.
+    ``frame_start``/``frame_end`` are the WLASL 1-based inclusive segment
+    bounds (-1 → EOF); ``bbox`` is an optional [x0, y0, x1, y1] signer crop
+    applied before staging. Returns uint8 RGB [T, Hs, Ws, 3].
     Frames beyond EOF (corrupt containers with bad frame counts) repeat the
     last good frame.
     """
@@ -53,9 +58,13 @@ def decode_sampled_frames(
         if total <= 0:
             # Some containers don't report counts; fall back to full decode.
             return _decode_all_then_sample(
-                cap, num_frames, staging_size, host_resize_short
+                cap, num_frames, staging_size, host_resize_short,
+                frame_start, frame_end, bbox,
             )
-        want = uniform_sample_indices(total, num_frames)
+        first = max(frame_start - 1, 0)
+        last = total if frame_end < 0 else min(frame_end, total)
+        seg = max(last - first, 1)
+        want = first + uniform_sample_indices(seg, num_frames)
         hs, ws = staging_size
         out = np.empty((num_frames, hs, ws, 3), dtype=np.uint8)
         want_set = {}
@@ -69,7 +78,7 @@ def decode_sampled_frames(
                 ok, frame = cap.read()  # decode + convert
                 if not ok:
                     break
-                frame = _stage(frame, staging_size, host_resize_short)
+                frame = _stage(frame, staging_size, host_resize_short, bbox)
                 for out_i in want_set[pos]:
                     out[out_i] = frame
                 last = frame
@@ -90,7 +99,8 @@ def decode_sampled_frames(
 
 
 def _decode_all_then_sample(
-    cap, num_frames, staging_size, host_resize_short: int = 0
+    cap, num_frames, staging_size, host_resize_short: int = 0,
+    frame_start: int = 1, frame_end: int = -1, bbox=None,
 ) -> np.ndarray:
     frames = []
     while True:
@@ -100,9 +110,12 @@ def _decode_all_then_sample(
         frames.append(frame)
     if not frames:
         raise IOError("no decodable frames")
+    first = max(frame_start - 1, 0)
+    last = len(frames) if frame_end < 0 else min(frame_end, len(frames))
+    frames = frames[first:last] or frames
     idx = uniform_sample_indices(len(frames), num_frames)
     return np.stack(
-        [_stage(frames[i], staging_size, host_resize_short) for i in idx]
+        [_stage(frames[i], staging_size, host_resize_short, bbox) for i in idx]
     )
 
 
@@ -110,10 +123,18 @@ def _stage(
     frame_bgr: np.ndarray,
     staging_size: Tuple[int, int],
     host_resize_short: int = 0,
+    bbox=None,
 ) -> np.ndarray:
     """BGR→RGB + resize to the fixed staging resolution (device sees static
     shapes). With ``host_resize_short`` set (transfer-thin mode), apply the
     short-side resize + center crop here instead of on device."""
+    if bbox is not None:
+        x0, y0, x1, y1 = (int(v) for v in bbox)
+        h, w = frame_bgr.shape[:2]
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, w), min(y1, h)
+        if x1 > x0 and y1 > y0:
+            frame_bgr = frame_bgr[y0:y1, x0:x1]
     hs, ws = staging_size
     if host_resize_short:
         h, w = frame_bgr.shape[:2]
@@ -143,6 +164,15 @@ def decode_clip(
     )
 
 
+def decode_record(rec, cfg: PreprocessConfig) -> np.ndarray:
+    """Decode a WLASL :class:`~asltpu.data.wlasl.ClipRecord`, honoring its
+    frame segment and signer bbox (the reference-family pipeline behavior)."""
+    return decode_sampled_frames(
+        rec.path, cfg.num_frames, cfg.staging_size, cfg.host_resize_short,
+        frame_start=rec.frame_start, frame_end=rec.frame_end, bbox=rec.bbox,
+    )
+
+
 class DecodePool:
     """Thread pool decoding clips concurrently (cv2 releases the GIL inside
     codec work). Feeds the Prefetcher for batched/streaming inference."""
@@ -163,8 +193,11 @@ class DecodePool:
         )
         self._lock = threading.Lock()
 
-    def submit(self, path: str):
-        return self._pool.submit(decode_clip, path, self.cfg)
+    def submit(self, item):
+        """``item``: a video path or a ClipRecord (segment/bbox honored)."""
+        if hasattr(item, "path") and hasattr(item, "frame_start"):
+            return self._pool.submit(decode_record, item, self.cfg)
+        return self._pool.submit(decode_clip, item, self.cfg)
 
     def map_batches(self, paths: Sequence[str], batch_size: int):
         """Yield [B, T, Hs, Ws, 3] uint8 batches in submission order; the

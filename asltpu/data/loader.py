@@ -17,7 +17,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from asltpu.config import PreprocessConfig
-from asltpu.data.decode import decode_clip
+from asltpu.data.decode import decode_record
 from asltpu.data.wlasl import ClipRecord
 
 
@@ -33,7 +33,7 @@ class ClipDataSource:
 
     def __getitem__(self, idx) -> Tuple[np.ndarray, np.int32]:
         rec = self._records[int(idx)]
-        return decode_clip(rec.path, self._pp), np.int32(rec.label)
+        return decode_record(rec, self._pp), np.int32(rec.label)
 
 
 def make_train_loader(

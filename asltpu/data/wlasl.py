@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -34,6 +34,12 @@ class ClipRecord:
     label: int
     split: str  # train | val | test
     path: str  # resolved video file path ("" if missing on disk)
+    # WLASL instances are segments of longer videos: 1-based inclusive frame
+    # range (frame_end == -1 → to EOF), plus the signer bounding box
+    # [x0, y0, x1, y1] in pixels (None when absent).
+    frame_start: int = 1
+    frame_end: int = -1
+    bbox: Optional[Tuple[int, int, int, int]] = None
 
 
 class WLASLIndex:
@@ -63,6 +69,7 @@ class WLASLIndex:
             for inst in entry["instances"]:
                 vid = str(inst["video_id"])
                 path = os.path.join(video_dir, vid + ext)
+                bbox = inst.get("bbox")
                 self.records.append(
                     ClipRecord(
                         video_id=vid,
@@ -70,6 +77,9 @@ class WLASLIndex:
                         label=label,
                         split=inst.get("split", "train"),
                         path=path if os.path.exists(path) else "",
+                        frame_start=int(inst.get("frame_start", 1)),
+                        frame_end=int(inst.get("frame_end", -1)),
+                        bbox=tuple(bbox) if bbox else None,
                     )
                 )
 

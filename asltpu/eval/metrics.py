@@ -32,13 +32,12 @@ def evaluate_split(
 ) -> Dict[str, float]:
     """Run streaming inference over a WLASL split and report top-1/top-5."""
     records = [r for r in records if r.path][:max_clips]
-    paths = [r.path for r in records]
     labels = np.asarray([r.label for r in records])
     logits = np.stack(
         [
             lg
             for _, _, lg in stream_predict(
-                model, paths, batch_size=batch_size,
+                model, records, batch_size=batch_size,
                 num_decode_workers=num_decode_workers,
                 landmarks_for=landmarks_for,
             )

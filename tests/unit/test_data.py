@@ -89,3 +89,68 @@ def test_prefetcher_deterministic_mode():
     items = [np.ones((2,)) * i for i in range(3)]
     got = [float(np.asarray(x)[0]) for x in Prefetcher(iter(items), deterministic=True)]
     assert got == [0.0, 1.0, 2.0]
+
+
+def test_decode_frame_segment(tmp_path):
+    """frame_start/frame_end restrict sampling to the WLASL segment."""
+    import cv2
+
+    path = str(tmp_path / "seg.mp4")
+    # 30 frames; frame t is a flat image of value ~ t*8 (codec-friendly).
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+    for t in range(30):
+        w.write(np.full((64, 64, 3), min(t * 8, 255), np.uint8))
+    w.release()
+    from asltpu.data.decode import decode_sampled_frames
+
+    frames = decode_sampled_frames(
+        path, 4, (64, 64), frame_start=11, frame_end=20
+    )
+    # Segment frames 10..19 (0-based) → values ≈ 80..152.
+    means = frames.mean(axis=(1, 2, 3))
+    assert means.min() > 80 - 15 and means.max() < 152 + 15, means
+    full = decode_sampled_frames(path, 4, (64, 64))
+    assert full.mean(axis=(1, 2, 3)).max() > 180  # full video reaches ~232
+
+
+def test_decode_bbox_crop(tmp_path):
+    """bbox selects the signer region before staging."""
+    import cv2
+
+    path = str(tmp_path / "bbox.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (128, 128))
+    for _ in range(8):
+        img = np.zeros((128, 128, 3), np.uint8)
+        img[:64, :64] = 220  # bright top-left quadrant
+        w.write(img)
+    w.release()
+    from asltpu.data.decode import decode_sampled_frames
+
+    bright = decode_sampled_frames(path, 2, (64, 64), bbox=(0, 0, 64, 64))
+    dark = decode_sampled_frames(path, 2, (64, 64), bbox=(64, 64, 128, 128))
+    assert bright.mean() > 180 and dark.mean() < 40
+
+
+def test_wlasl_record_segment_fields(tmp_path):
+    import json
+
+    from asltpu.data.synthetic import write_video
+
+    video_dir = tmp_path / "v"
+    video_dir.mkdir()
+    write_video(str(video_dir / "00001.mp4"), num_frames=10, size=(64, 64))
+    index = [{"gloss": "hello", "instances": [
+        {"video_id": "00001", "split": "train", "frame_start": 3,
+         "frame_end": 8, "bbox": [1, 2, 50, 60]}]}]
+    ip = tmp_path / "idx.json"
+    ip.write_text(json.dumps(index))
+    ds = WLASLIndex(str(ip), str(video_dir), subset=1)
+    rec = ds.split("train")[0]
+    assert (rec.frame_start, rec.frame_end) == (3, 8)
+    assert rec.bbox == (1, 2, 50, 60)
+    from asltpu.data.decode import decode_record
+    from asltpu.config import PreprocessConfig
+
+    frames = decode_record(rec, PreprocessConfig(num_frames=4,
+                                                 staging_size=(64, 64)))
+    assert frames.shape == (4, 64, 64, 3)
