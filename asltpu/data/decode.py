@@ -65,12 +65,23 @@ def decode_sampled_frames(
         last = total if frame_end < 0 else min(frame_end, total)
         seg = max(last - first, 1)
         want = first + uniform_sample_indices(seg, num_frames)
+        pos = 0
+        if first > 8:
+            # Seek-based decode (SURVEY.md §7.3.1): jump near the segment
+            # instead of grab()-ing from frame 0 — WLASL segments often sit
+            # deep inside long source videos. cv2 seeks via the container
+            # index and decodes forward from the nearest keyframe.
+            if cap.set(cv2.CAP_PROP_POS_FRAMES, first):
+                got = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+                if 0 <= got <= first:
+                    pos = got
+                else:  # unreliable seek — fall back to sequential
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
         hs, ws = staging_size
         out = np.empty((num_frames, hs, ws, 3), dtype=np.uint8)
         want_set = {}
         for out_i, frame_i in enumerate(want):
             want_set.setdefault(int(frame_i), []).append(out_i)
-        pos = 0
         last = None
         max_needed = max(want_set)
         while pos <= max_needed:
@@ -125,9 +136,15 @@ def _stage(
     host_resize_short: int = 0,
     bbox=None,
 ) -> np.ndarray:
-    """BGR→RGB + resize to the fixed staging resolution (device sees static
-    shapes). With ``host_resize_short`` set (transfer-thin mode), apply the
-    short-side resize + center crop here instead of on device."""
+    """BGR→RGB + ASPECT-PRESERVING resize + center crop to the fixed staging
+    resolution (device sees static shapes without geometric distortion).
+
+    The short-side target is ``host_resize_short`` when set (transfer-thin
+    mode: staging == final crop, device only normalizes) and
+    ``min(staging_size)`` otherwise — in the default configuration
+    (staging == resize_short square) the staged frame composes with the
+    device crop to EXACTLY the reference pipeline: resize-short → center
+    crop (center crops nest)."""
     if bbox is not None:
         x0, y0, x1, y1 = (int(v) for v in bbox)
         h, w = frame_bgr.shape[:2]
@@ -136,21 +153,18 @@ def _stage(
         if x1 > x0 and y1 > y0:
             frame_bgr = frame_bgr[y0:y1, x0:x1]
     hs, ws = staging_size
-    if host_resize_short:
-        h, w = frame_bgr.shape[:2]
-        if h <= w:
-            rh, rw = host_resize_short, int(round(w * host_resize_short / h))
-        else:
-            rh, rw = int(round(h * host_resize_short / w)), host_resize_short
-        if (rh, rw) != (h, w):
-            frame_bgr = cv2.resize(
-                frame_bgr, (rw, rh), interpolation=cv2.INTER_LINEAR
-            )
-        y0, x0 = (rh - hs) // 2, (rw - ws) // 2
-        frame_bgr = frame_bgr[y0 : y0 + hs, x0 : x0 + ws]
-    elif frame_bgr.shape[:2] != (hs, ws):
-        frame_bgr = cv2.resize(frame_bgr, (ws, hs), interpolation=cv2.INTER_LINEAR)
-    return frame_bgr[..., ::-1]  # BGR → RGB (view; copied on assignment)
+    short = host_resize_short or min(hs, ws)
+    h, w = frame_bgr.shape[:2]
+    if h <= w:
+        rh, rw = short, max(int(round(w * short / h)), ws)
+    else:
+        rh, rw = max(int(round(h * short / w)), hs), short
+    if (rh, rw) != (h, w):
+        frame_bgr = cv2.resize(
+            frame_bgr, (rw, rh), interpolation=cv2.INTER_LINEAR
+        )
+    y0, x0 = (rh - hs) // 2, (rw - ws) // 2
+    return frame_bgr[y0 : y0 + hs, x0 : x0 + ws, ::-1]  # BGR → RGB
 
 
 def decode_clip(

@@ -154,3 +154,24 @@ def test_wlasl_record_segment_fields(tmp_path):
     frames = decode_record(rec, PreprocessConfig(num_frames=4,
                                                  staging_size=(64, 64)))
     assert frames.shape == (4, 64, 64, 3)
+
+
+def test_decode_seek_matches_sequential(tmp_path):
+    """Seek-based segment decode must return the same frames as sequential
+    decode (content check on a brightness ramp deep in the video)."""
+    import cv2
+
+    path = str(tmp_path / "long.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+    for t in range(120):
+        w.write(np.full((64, 64, 3), min(t * 2, 255), np.uint8))
+    w.release()
+    from asltpu.data.decode import decode_sampled_frames
+
+    # Segment frames 80..100 (0-based 79..99): values ≈ 158..198.
+    frames = decode_sampled_frames(
+        path, 4, (64, 64), frame_start=80, frame_end=100
+    )
+    means = frames.mean(axis=(1, 2, 3))
+    assert means.min() > 140 and means.max() < 215, means
+    assert (np.diff(means) >= -3).all()  # monotone ramp preserved

@@ -108,3 +108,36 @@ def test_preprocess_noop_resize(rng):
     got = np.asarray(preprocess_clip_jnp(frames, cfg))
     want = np.stack([_cv2_oracle(clip, cfg) for clip in frames])
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_transfer_thin_mode_matches_device_path(rng, tmp_path):
+    """host_resize_short staging (host resize+crop, device normalize-only)
+    must produce the same preprocessed tensor as the full device path —
+    the bench relies on this equivalence."""
+    import dataclasses
+
+    from asltpu.data.decode import decode_clip
+    from asltpu.data.synthetic import write_video
+
+    path = str(tmp_path / "c.mp4")
+    write_video(path, num_frames=12, size=(100, 80), seed=0)
+
+    device_cfg = PreprocessConfig(
+        num_frames=4, staging_size=(64, 64), resize_short=56, crop=48,
+        out_dtype="float32", use_pallas=False,
+    )
+    thin_cfg = dataclasses.replace(
+        device_cfg, host_resize_short=56, staging_size=(48, 48),
+        resize_short=48,
+    )
+    # Device path: stage 64², resize+crop+normalize on device.
+    dev_frames = decode_clip(path, device_cfg)
+    dev_out = np.asarray(preprocess_clip_mm(dev_frames[None], device_cfg))[0]
+    # Thin path: host resizes the ORIGINAL frame to short-56 + crops 48².
+    thin_frames = decode_clip(path, thin_cfg)
+    thin_out = np.asarray(preprocess_clip_mm(thin_frames[None], thin_cfg))[0]
+    assert dev_out.shape == thin_out.shape == (4, 48, 48, 3)
+    # Device path resized source→64→56 (two bilinear hops) vs thin's
+    # source→56 (one hop): small resample differences are expected.
+    assert np.abs(dev_out - thin_out).mean() < 0.08
+    np.testing.assert_allclose(dev_out.mean(), thin_out.mean(), atol=0.02)
