@@ -230,6 +230,7 @@ def stream_predict(
     landmarks_for: Optional[Any] = None,
     gloss_names: Optional[Sequence[str]] = None,
     prefetch_depth: int = 2,
+    skip_errors: bool = False,
 ) -> Iterator[Tuple[str, Any, np.ndarray]]:
     """Batched streaming inference (config #5 contract, SURVEY.md §3.4):
     decode workers → double-buffered prefetch → jitted predict; yields
@@ -248,37 +249,36 @@ def stream_predict(
     paths = [it.path if hasattr(it, "path") else it for it in items]
 
     needs_lm = model.takes_landmarks
+    on_error = "skip" if skip_errors else "raise"
 
     def host_batches():
-        cursor = 0
-        for frames, n_real in pool.map_batches(items, batch_size):
+        for frames, kept in pool.map_batches(items, batch_size, on_error):
+            kept_arr = np.asarray(kept, np.int32)
             if needs_lm:
-                batch_paths = list(paths[cursor : cursor + n_real])
-                batch_paths += [batch_paths[-1]] * (frames.shape[0] - n_real)
+                batch_paths = [paths[k] for k in kept]
+                batch_paths += [batch_paths[-1]] * (frames.shape[0] - len(kept))
                 lms = np.stack([landmarks_for(p) for p in batch_paths])
-                yield (frames, lms, n_real)
+                yield (frames, lms, kept_arr)
             else:
-                yield (frames, n_real)
-            cursor += n_real
+                yield (frames, kept_arr)
 
     pose_only = isinstance(model.cfg, PoseBiLSTMConfig)
-    consumed = 0
     try:
         for item in Prefetcher(host_batches(), depth=prefetch_depth):
             if needs_lm:
-                frames, lms, n_real = item
+                frames, lms, kept = item
                 if pose_only:
                     logits = fn(model.variables, lms)
                 else:
                     logits = fn(model.variables, frames, lms)
             else:
-                frames, n_real = item
+                frames, kept = item
                 logits = fn(model.variables, frames)
-            logits = np.asarray(jax.device_get(logits))[: int(n_real)]
+            kept = np.asarray(jax.device_get(kept))
+            logits = np.asarray(jax.device_get(logits))[: len(kept)]
             ids = logits.argmax(axis=-1)
-            for j in range(int(n_real)):
+            for j, k in enumerate(kept):
                 gloss = gloss_names[ids[j]] if gloss_names else int(ids[j])
-                yield paths[consumed + j], gloss, logits[j]
-            consumed += int(n_real)
+                yield paths[int(k)], gloss, logits[j]
     finally:
         pool.shutdown()

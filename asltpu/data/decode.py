@@ -213,18 +213,44 @@ class DecodePool:
             return self._pool.submit(decode_record, item, self.cfg)
         return self._pool.submit(decode_clip, item, self.cfg)
 
-    def map_batches(self, paths: Sequence[str], batch_size: int):
-        """Yield [B, T, Hs, Ws, 3] uint8 batches in submission order; the
-        final short batch is padded by repeating the last clip (callers get
-        the true count alongside)."""
+    def map_batches(
+        self,
+        paths: Sequence,
+        batch_size: int,
+        on_error: str = "raise",
+    ):
+        """Yield ``(frames [B,T,Hs,Ws,3] u8, kept_indices)`` in submission
+        order; the final short batch is padded by repeating the last clip
+        (``kept_indices`` carries the true members).
+
+        ``on_error="skip"`` drops undecodable clips with a warning instead
+        of failing the stream (production-serving mode); a batch whose
+        clips ALL fail is skipped entirely.
+        """
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be raise|skip, got {on_error}")
         futures = [self.submit(p) for p in paths]
         for i in range(0, len(futures), batch_size):
             chunk = futures[i : i + batch_size]
-            clips = [f.result() for f in chunk]
-            n_real = len(clips)
+            clips, kept = [], []
+            for j, f in enumerate(chunk):
+                try:
+                    clips.append(f.result())
+                    kept.append(i + j)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    from asltpu.utils.logging import get_logger
+
+                    get_logger("asltpu.decode").warning(
+                        "skipping undecodable clip %s", paths[i + j],
+                        exc_info=True,
+                    )
+            if not clips:
+                continue
             while len(clips) < batch_size:
                 clips.append(clips[-1])
-            yield np.stack(clips), n_real
+            yield np.stack(clips), kept
 
     def shutdown(self):
         self._pool.shutdown(wait=False)

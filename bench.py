@@ -112,8 +112,8 @@ def main() -> int:
     pool = DecodePool(pp, num_workers=args.decode_workers)
     t0 = time.perf_counter()
     n_dec = 0
-    for batch, n_real in pool.map_batches(corpus[: args.clips // 2], args.batch):
-        n_dec += n_real
+    for batch, kept in pool.map_batches(corpus[: args.clips // 2], args.batch):
+        n_dec += len(kept)
     decode_cps = n_dec / (time.perf_counter() - t0)
 
     # ---- end-to-end: decode pool → prefetch transfer thread → device ----
@@ -122,7 +122,7 @@ def main() -> int:
     # cleanly even on this 1-core host; device compute overlaps via JAX
     # async dispatch.
     def host_batches():
-        for batch, n_real in pool.map_batches(corpus, args.batch):
+        for batch, kept in pool.map_batches(corpus, args.batch):
             yield batch
 
     t0 = time.perf_counter()

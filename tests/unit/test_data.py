@@ -65,9 +65,9 @@ def test_decode_pool_batches(tiny_wlasl):
     out = list(pool.map_batches(paths, batch_size=4))
     pool.shutdown()
     assert len(out) == 2
-    (b1, n1), (b2, n2) = out
-    assert b1.shape == (4, 4, 64, 64, 3) and n1 == 4
-    assert b2.shape == (4, 4, 64, 64, 3) and n2 == 2  # padded
+    (b1, k1), (b2, k2) = out
+    assert b1.shape == (4, 4, 64, 64, 3) and k1 == [0, 1, 2, 3]
+    assert b2.shape == (4, 4, 64, 64, 3) and k2 == [4, 5]  # padded
 
 
 def test_prefetcher_order_and_error():
@@ -175,3 +175,44 @@ def test_decode_seek_matches_sequential(tmp_path):
     means = frames.mean(axis=(1, 2, 3))
     assert means.min() > 140 and means.max() < 215, means
     assert (np.diff(means) >= -3).all()  # monotone ramp preserved
+
+
+def test_decode_pool_skip_errors(tmp_path, tiny_wlasl):
+    """on_error='skip' drops undecodable clips; stream_predict(skip_errors)
+    yields results for the good ones only."""
+    index, videos = tiny_wlasl
+    ds = WLASLIndex(index, videos, subset=6)
+    good = [r.path for r in ds.split("train")][:3]
+    bad = str(tmp_path / "corrupt.mp4")
+    open(bad, "wb").write(b"not a video")
+    paths = [good[0], bad, good[1], good[2]]
+    cfg = PreprocessConfig(num_frames=4, staging_size=(64, 64))
+    pool = DecodePool(cfg, num_workers=2)
+
+    import pytest
+
+    with pytest.raises(Exception):
+        list(pool.map_batches(paths, batch_size=2))  # default raises
+    out = list(pool.map_batches(paths, batch_size=2, on_error="skip"))
+    pool.shutdown()
+    kept = [k for _, ks in out for k in ks]
+    assert kept == [0, 2, 3]  # index 1 (corrupt) skipped
+
+
+def test_stream_predict_skip_errors(tmp_path, tiny_wlasl):
+    from asltpu import api
+
+    index, videos = tiny_wlasl
+    ds = WLASLIndex(index, videos, subset=6)
+    good = [r.path for r in ds.split("train")][:2]
+    bad = str(tmp_path / "corrupt2.mp4")
+    open(bad, "wb").write(b"junk")
+    model = api.load_model(
+        "mobilenet_gru", num_classes=6, gru_hidden=32,
+        preprocess={"num_frames": 4, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
+    )
+    results = list(api.stream_predict(
+        model, [good[0], bad, good[1]], batch_size=2, skip_errors=True,
+    ))
+    assert [p for p, _, _ in results] == [good[0], good[1]]
