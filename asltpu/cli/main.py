@@ -230,6 +230,23 @@ def cmd_landmarks(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the HTTP inference server (dynamic batching on one chip)."""
+    from asltpu.data.wlasl import WLASLIndex
+    from asltpu.serve_http import serve
+
+    model = _load(args)
+    gloss_names = None
+    if args.index:
+        gloss_names = WLASLIndex(
+            args.index, "", subset=model.cfg.num_classes
+        ).glosses
+    log.info("serving %s on %s:%d", args.model, args.host, args.port)
+    serve(model, host=args.host, port=args.port, max_batch=args.max_batch,
+          max_delay_ms=args.max_delay_ms, gloss_names=gloss_names)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -292,6 +309,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--landmarks-dir", default=None,
                    help="precomputed <video_id>.npy landmarks (pose/fusion)")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve", help="HTTP inference server")
+    _add_model_args(p)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8476)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-delay-ms", type=float, default=10.0)
+    p.add_argument("--index", default=None, help="WLASL index for gloss names")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("landmarks", help="precompute pose landmarks (C4)")
     p.add_argument("--index", required=True)

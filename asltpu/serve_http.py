@@ -1,0 +1,184 @@
+"""HTTP serving front-end (production deployment surface) over
+:class:`asltpu.serve.PredictServer`.
+
+Endpoints:
+  - ``POST /predict``            body = raw video container bytes (mp4/...);
+                                 the host decodes + stages, the dynamic
+                                 batcher fuses concurrent requests into one
+                                 TPU program. → ``{"gloss", "top5"}``
+  - ``POST /predict_landmarks``  body = ``.npy`` bytes of [T, 543, 3]
+                                 landmarks (pose/fusion models; for fusion
+                                 send multipart-free: video bytes via
+                                 ``X-ASLTPU-Landmarks-B64`` header is NOT
+                                 supported — use the library API).
+  - ``GET /healthz``             liveness + model name
+  - ``GET /stats``               batching/latency counters
+
+Stdlib-only (ThreadingHTTPServer): one process, many request threads, ONE
+device-owning batcher thread — the standard TPU serving topology.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from asltpu.api import Model
+from asltpu.data.decode import decode_clip
+from asltpu.serve import PredictServer
+
+
+def make_handler(server_state):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through our logger
+            from asltpu.utils.logging import get_logger
+
+            get_logger("asltpu.http").info(fmt, *args)
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "model": type(server_state.model.cfg).__name__,
+                })
+            elif self.path == "/stats":
+                st = server_state.predictor.stats
+                self._json(200, {
+                    "requests": st.requests,
+                    "batches": st.batches,
+                    "avg_batch_size": round(st.avg_batch_size, 2),
+                    "avg_latency_ms": round(st.avg_latency_ms, 2),
+                    "padded_slots": st.padded_slots,
+                })
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def _read_body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                raise ValueError("empty body")
+            if length > server_state.max_body:
+                raise ValueError(f"body too large ({length} bytes)")
+            return self.rfile.read(length)
+
+        def do_POST(self):
+            try:
+                if self.path == "/predict":
+                    self._predict_video()
+                elif self.path == "/predict_landmarks":
+                    self._predict_landmarks()
+                else:
+                    self._json(404, {"error": f"unknown path {self.path}"})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — serve errors as 500s
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _predict_video(self):
+            model = server_state.model
+            if not model.takes_rgb:
+                raise ValueError("model consumes landmarks; use "
+                                 "/predict_landmarks")
+            if model.takes_landmarks:
+                raise ValueError("fusion models need video+landmarks; use "
+                                 "the library API")
+            data = self._read_body()
+            # cv2 needs a real file for container probing.
+            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+                f.write(data)
+                tmp = f.name
+            try:
+                frames = decode_clip(tmp, model.cfg.preprocess)
+            finally:
+                os.unlink(tmp)
+            gloss, logits = server_state.predictor.submit(frames).result(
+                timeout=server_state.timeout_s
+            )
+            self._respond_prediction(gloss, logits)
+
+        def _predict_landmarks(self):
+            model = server_state.model
+            if not model.takes_landmarks:
+                raise ValueError("model consumes RGB video; use /predict")
+            lm = np.load(io.BytesIO(self._read_body()), allow_pickle=False)
+            if lm.ndim != 3 or lm.shape[1:] != (543, 3):
+                raise ValueError(f"expected [T, 543, 3] landmarks, got "
+                                 f"{list(lm.shape)}")
+            nf = getattr(model.cfg, "num_frames", 16)
+            if lm.shape[0] != nf:
+                from asltpu.ops.preprocess import uniform_sample_indices
+
+                lm = lm[uniform_sample_indices(lm.shape[0], nf)]
+            gloss, logits = server_state.predictor.submit(
+                landmarks=lm.astype(np.float32)
+            ).result(timeout=server_state.timeout_s)
+            self._respond_prediction(gloss, logits)
+
+        def _respond_prediction(self, gloss, logits):
+            order = np.argsort(-logits)[:5]
+            names = server_state.gloss_names
+            self._json(200, {
+                "gloss": gloss,
+                "top5": [
+                    {"gloss": names[i] if names else int(i),
+                     "logit": round(float(logits[i]), 4)}
+                    for i in order
+                ],
+            })
+
+    return Handler
+
+
+class ServeState:
+    def __init__(self, model, predictor, gloss_names, timeout_s, max_body):
+        self.model = model
+        self.predictor = predictor
+        self.gloss_names = gloss_names
+        self.timeout_s = timeout_s
+        self.max_body = max_body
+
+
+def serve(
+    model: Model,
+    host: str = "0.0.0.0",
+    port: int = 8476,
+    max_batch: int = 32,
+    max_delay_ms: float = 10.0,
+    gloss_names: Optional[List[str]] = None,
+    timeout_s: float = 300.0,
+    max_body: int = 256 * 1024 * 1024,
+    block: bool = True,
+):
+    """Start the HTTP server. ``block=False`` returns
+    (ThreadingHTTPServer, PredictServer) for embedding/tests."""
+    predictor = PredictServer(
+        model, max_batch=max_batch, max_delay_ms=max_delay_ms,
+        gloss_names=gloss_names,
+    )
+    state = ServeState(model, predictor, gloss_names, timeout_s, max_body)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    if not block:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd, predictor
+    try:
+        httpd.serve_forever()
+    finally:
+        predictor.shutdown()
+    return httpd, predictor

@@ -1,0 +1,99 @@
+"""HTTP serving front-end: real requests over a socket."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from asltpu import api
+from asltpu.data.synthetic import synthetic_landmarks, write_video
+from asltpu.serve_http import serve
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def http_server(tmp_path_factory):
+    model = api.load_model(
+        "mobilenet_gru", num_classes=6, gru_hidden=32,
+        preprocess={"num_frames": 4, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
+    )
+    httpd, predictor = serve(
+        model, host="127.0.0.1", port=0, max_batch=4, max_delay_ms=5,
+        gloss_names=[f"g{i}" for i in range(6)], block=False,
+    )
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, model
+    httpd.shutdown()
+    predictor.shutdown()
+
+
+def test_healthz_and_stats(http_server):
+    base, _ = http_server
+    code, body = _get(base + "/healthz")
+    assert code == 200 and body["status"] == "ok"
+    code, body = _get(base + "/stats")
+    assert code == 200 and "requests" in body
+
+
+def test_predict_video_roundtrip(http_server, tmp_path):
+    base, model = http_server
+    path = str(tmp_path / "clip.mp4")
+    write_video(path, num_frames=12, size=(96, 96), seed=3)
+    code, body = _post(base + "/predict", open(path, "rb").read())
+    assert code == 200
+    assert body["gloss"].startswith("g")
+    assert len(body["top5"]) == 5
+    # Must match the library path.
+    clip = api.load_clip(path, model.cfg.preprocess)
+    gloss, _ = api.predict(model, clip,
+                           gloss_names=[f"g{i}" for i in range(6)])
+    assert body["gloss"] == gloss
+
+
+def test_predict_bad_inputs(http_server):
+    base, _ = http_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict", b"not a video at all")
+    assert e.value.code == 500  # decode failure surfaces as server error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict", b"")
+    assert e.value.code == 400  # empty body rejected early
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict_landmarks", b"junk")
+    assert e.value.code in (400, 500)  # wrong model for landmarks
+
+
+def test_landmarks_endpoint(tmp_path):
+    model = api.load_model("pose_bilstm", num_classes=6, hidden_size=16,
+                           num_frames=8)
+    httpd, predictor = serve(
+        model, host="127.0.0.1", port=0, max_batch=2, max_delay_ms=5,
+        block=False,
+    )
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        lm = synthetic_landmarks(1, 20, seed=1)[0]  # resampled to 8 in-server
+        buf = io.BytesIO()
+        np.save(buf, lm)
+        code, body = _post(base + "/predict_landmarks", buf.getvalue())
+        assert code == 200 and isinstance(body["gloss"], int)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/predict", b"whatever")
+        assert e.value.code == 400  # RGB endpoint on a pose model
+    finally:
+        httpd.shutdown()
+        predictor.shutdown()
