@@ -249,7 +249,40 @@ def stream_predict(
     paths = [it.path if hasattr(it, "path") else it for it in items]
 
     needs_lm = model.takes_landmarks
+    pose_only = isinstance(model.cfg, PoseBiLSTMConfig)
     on_error = "skip" if skip_errors else "raise"
+
+    if pose_only:
+        if landmarks_for is None:
+            pool.shutdown()
+            raise ValueError(
+                "pose models stream from landmarks: pass landmarks_for="
+            )
+
+        # No video decode needed: batch landmarks directly.
+        def host_batches():
+            for i in range(0, len(paths), batch_size):
+                chunk = paths[i : i + batch_size]
+                lms = np.stack([landmarks_for(p) for p in chunk])
+                pad = batch_size - len(chunk)
+                if pad:
+                    lms = np.concatenate(
+                        [lms, np.repeat(lms[-1:], pad, axis=0)]
+                    )
+                yield (lms, np.arange(i, i + len(chunk), dtype=np.int32))
+
+        try:
+            for lms, kept in Prefetcher(host_batches(), depth=prefetch_depth):
+                logits = fn(model.variables, lms)
+                kept = np.asarray(jax.device_get(kept))
+                logits = np.asarray(jax.device_get(logits))[: len(kept)]
+                ids = logits.argmax(axis=-1)
+                for j, k in enumerate(kept):
+                    gloss = gloss_names[ids[j]] if gloss_names else int(ids[j])
+                    yield paths[int(k)], gloss, logits[j]
+        finally:
+            pool.shutdown()
+        return
 
     def host_batches():
         for frames, kept in pool.map_batches(items, batch_size, on_error):
@@ -262,15 +295,11 @@ def stream_predict(
             else:
                 yield (frames, kept_arr)
 
-    pose_only = isinstance(model.cfg, PoseBiLSTMConfig)
     try:
         for item in Prefetcher(host_batches(), depth=prefetch_depth):
             if needs_lm:
                 frames, lms, kept = item
-                if pose_only:
-                    logits = fn(model.variables, lms)
-                else:
-                    logits = fn(model.variables, frames, lms)
+                logits = fn(model.variables, frames, lms)
             else:
                 frames, kept = item
                 logits = fn(model.variables, frames)

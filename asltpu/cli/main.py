@@ -81,14 +81,9 @@ def cmd_predict(args) -> int:
 
 
 def _top5(logits, gloss_names):
-    import numpy as np
+    from asltpu.eval.metrics import topk_entries
 
-    idx = np.argsort(-logits)[:5]
-    return [
-        {"gloss": gloss_names[i] if gloss_names else int(i),
-         "logit": round(float(logits[i]), 4)}
-        for i in idx
-    ]
+    return topk_entries(logits, gloss_names)
 
 
 def cmd_train(args) -> int:
@@ -248,15 +243,12 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import runpy
-    import os
+    import sys as _sys
 
-    sys.argv = ["bench.py"] + args.rest
-    runpy.run_path(
-        os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
-        run_name="__main__",
-    )
-    return 0
+    from asltpu.benchmark import main as bench_main
+
+    _sys.argv = ["asl-bench"] + args.rest
+    return bench_main()
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -152,13 +152,14 @@ def _stage(
         x1, y1 = min(x1, w), min(y1, h)
         if x1 > x0 and y1 > y0:
             frame_bgr = frame_bgr[y0:y1, x0:x1]
+    from asltpu.ops.preprocess import resize_plan
+
     hs, ws = staging_size
     short = host_resize_short or min(hs, ws)
     h, w = frame_bgr.shape[:2]
-    if h <= w:
-        rh, rw = short, max(int(round(w * short / h)), ws)
-    else:
-        rh, rw = max(int(round(h * short / w)), hs), short
+    rh, rw = resize_plan((h, w), short)
+    # Clamp up so the staging crop always fits (extreme aspect ratios).
+    rh, rw = max(rh, hs), max(rw, ws)
     if (rh, rw) != (h, w):
         frame_bgr = cv2.resize(
             frame_bgr, (rw, rh), interpolation=cv2.INTER_LINEAR
@@ -229,8 +230,22 @@ class DecodePool:
         """
         if on_error not in ("raise", "skip"):
             raise ValueError(f"on_error must be raise|skip, got {on_error}")
-        futures = [self.submit(p) for p in paths]
-        for i in range(0, len(futures), batch_size):
+        # Sliding-window submission: keep at most a few batches of decodes
+        # in flight so a fast decoder can't pile an entire corpus of
+        # decoded frames into host memory ahead of a slow consumer.
+        window = max(batch_size * 4, 8)
+        futures: list = []
+        next_submit = 0
+
+        def top_up(upto):
+            nonlocal next_submit
+            while next_submit < min(upto, len(paths)):
+                futures.append(self.submit(paths[next_submit]))
+                next_submit += 1
+
+        top_up(window)
+        for i in range(0, len(paths), batch_size):
+            top_up(i + batch_size + window)
             chunk = futures[i : i + batch_size]
             clips, kept = [], []
             for j, f in enumerate(chunk):
@@ -253,4 +268,4 @@ class DecodePool:
             yield np.stack(clips), kept
 
     def shutdown(self):
-        self._pool.shutdown(wait=False)
+        self._pool.shutdown(wait=False, cancel_futures=True)

@@ -10,6 +10,23 @@ from asltpu.api import Model, stream_predict
 from asltpu.data.wlasl import ClipRecord
 
 
+def topk_entries(logits, gloss_names=None, k: int = 5):
+    """[C] logits → top-k [{gloss, logit}] with safe name lookup (ids beyond
+    a short name list fall back to the integer id)."""
+    idx = np.argsort(-logits)[:k]
+    return [
+        {
+            "gloss": (
+                gloss_names[i]
+                if gloss_names is not None and i < len(gloss_names)
+                else int(i)
+            ),
+            "logit": round(float(logits[i]), 4),
+        }
+        for i in idx
+    ]
+
+
 def topk_accuracy(
     logits: np.ndarray, labels: np.ndarray, ks: Sequence[int] = (1, 5)
 ) -> Dict[str, float]:

@@ -42,13 +42,18 @@ def uniform_sample_indices(num_raw_frames: int, num_out: int) -> np.ndarray:
     return np.minimum(idx.astype(np.int64), num_raw_frames - 1)
 
 
-def _resize_plan(in_hw: Tuple[int, int], resize_short: int) -> Tuple[int, int]:
+def resize_plan(in_hw: Tuple[int, int], resize_short: int) -> Tuple[int, int]:
     """Target (H, W) after aspect-preserving short-side resize (cv2 semantics:
-    round to nearest integer)."""
+    round to nearest integer). The ONE shared implementation — decode staging
+    and the sampling-matrix builders all derive from it so rounding
+    conventions can never diverge between host and device."""
     h, w = in_hw
     if h <= w:
         return resize_short, int(round(w * resize_short / h))
     return int(round(h * resize_short / w)), resize_short
+
+
+_resize_plan = resize_plan  # backwards-compat alias
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -52,11 +52,15 @@ def resize_crop_matrices(
     in_hw: Tuple[int, int], resize_short: int, crop: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(Rh [crop, Hin], Rw [crop, Win]) for short-side resize + center crop."""
+    from asltpu.ops.preprocess import resize_plan
+
     h, w = in_hw
-    if h <= w:
-        rh, rw = resize_short, int(round(w * resize_short / h))
-    else:
-        rh, rw = int(round(h * resize_short / w)), resize_short
+    rh, rw = resize_plan((h, w), resize_short)
+    if rh < crop or rw < crop:
+        raise ValueError(
+            f"crop {crop} exceeds resized dims {(rh, rw)} (staging "
+            f"{in_hw}, resize_short {resize_short})"
+        )
     y0, x0 = (rh - crop) // 2, (rw - crop) // 2
     return (
         _sampling_matrix(h, rh, crop, y0),

@@ -75,8 +75,28 @@ def make_handler(server_state):
             if length <= 0:
                 raise ValueError("empty body")
             if length > server_state.max_body:
+                # Can't drain an oversized body; drop the connection after
+                # responding so keep-alive reuse never parses body bytes as
+                # the next request.
+                self.close_connection = True
                 raise ValueError(f"body too large ({length} bytes)")
             return self.rfile.read(length)
+
+        def _drain_body(self):
+            """Consume an unread body so keep-alive connections stay in
+            sync (or mark the connection closed when it's too large)."""
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                return
+            if length > server_state.max_body:
+                self.close_connection = True
+                return
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                length -= len(chunk)
 
         def do_POST(self):
             try:
@@ -85,6 +105,7 @@ def make_handler(server_state):
                 elif self.path == "/predict_landmarks":
                     self._predict_landmarks()
                 else:
+                    self._drain_body()
                     self._json(404, {"error": f"unknown path {self.path}"})
             except ValueError as e:
                 self._json(400, {"error": str(e)})
@@ -94,9 +115,11 @@ def make_handler(server_state):
         def _predict_video(self):
             model = server_state.model
             if not model.takes_rgb:
+                self._drain_body()
                 raise ValueError("model consumes landmarks; use "
                                  "/predict_landmarks")
             if model.takes_landmarks:
+                self._drain_body()
                 raise ValueError("fusion models need video+landmarks; use "
                                  "the library API")
             data = self._read_body()
@@ -116,7 +139,12 @@ def make_handler(server_state):
         def _predict_landmarks(self):
             model = server_state.model
             if not model.takes_landmarks:
+                self._drain_body()
                 raise ValueError("model consumes RGB video; use /predict")
+            if model.takes_rgb:
+                self._drain_body()
+                raise ValueError("fusion models need video+landmarks; use "
+                                 "the library API")
             lm = np.load(io.BytesIO(self._read_body()), allow_pickle=False)
             if lm.ndim != 3 or lm.shape[1:] != (543, 3):
                 raise ValueError(f"expected [T, 543, 3] landmarks, got "
@@ -132,15 +160,11 @@ def make_handler(server_state):
             self._respond_prediction(gloss, logits)
 
         def _respond_prediction(self, gloss, logits):
-            order = np.argsort(-logits)[:5]
-            names = server_state.gloss_names
+            from asltpu.eval.metrics import topk_entries
+
             self._json(200, {
                 "gloss": gloss,
-                "top5": [
-                    {"gloss": names[i] if names else int(i),
-                     "logit": round(float(logits[i]), 4)}
-                    for i in order
-                ],
+                "top5": topk_entries(logits, server_state.gloss_names),
             })
 
     return Handler

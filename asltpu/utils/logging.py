@@ -36,28 +36,35 @@ class MetricsWriter:
 
     def __init__(self, log_dir: Optional[str] = None, name: str = "train"):
         self._log = get_logger(f"asltpu.{name}")
-        self._csv_path = None
-        self._csv_keys = None
+        self._log_dir = log_dir
+        self._name = name
+        self._seen_schemas: Dict[tuple, str] = {}
         self._t0 = time.time()
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
-            self._csv_path = os.path.join(log_dir, f"{name}_metrics.csv")
 
     def __call__(self, step: int, metrics: Dict[str, float]):
         self.write(step, metrics)
 
+    def _csv_for(self, keys: tuple) -> str:
+        """One CSV per metric schema — interleaved train/eval writes get
+        separate, well-formed files instead of a header-switching mess."""
+        if keys not in self._seen_schemas:
+            suffix = "" if not self._seen_schemas else f"_{len(self._seen_schemas)}"
+            path = os.path.join(
+                self._log_dir, f"{self._name}_metrics{suffix}.csv"
+            )
+            with open(path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=list(keys)).writeheader()
+            self._seen_schemas[keys] = path
+        return self._seen_schemas[keys]
+
     def write(self, step: int, metrics: Dict[str, float]):
         parts = " ".join(f"{k}={v:.4g}" for k, v in sorted(metrics.items()))
         self._log.info("step %d: %s", step, parts)
-        if self._csv_path:
-            keys = ["step", "wall_time"] + sorted(metrics)
+        if self._log_dir:
+            keys = tuple(["step", "wall_time"] + sorted(metrics))
             row = {"step": step, "wall_time": round(time.time() - self._t0, 3),
                    **{k: metrics[k] for k in sorted(metrics)}}
-            fresh = self._csv_keys != keys
-            if fresh:
-                self._csv_keys = keys
-            with open(self._csv_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=keys)
-                if fresh:
-                    w.writeheader()
-                w.writerow(row)
+            with open(self._csv_for(keys), "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=list(keys)).writerow(row)
