@@ -72,7 +72,7 @@ def cmd_predict(args) -> int:
         gloss_names = ds.glosses
     for path, gloss, logits in api.stream_predict(
         model, args.clips, batch_size=args.batch, gloss_names=gloss_names,
-        landmarks_for=landmarks_for,
+        landmarks_for=landmarks_for, skip_errors=args.skip_errors,
     ):
         print(json.dumps({
             "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
@@ -263,6 +263,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--videos", default=None)
     p.add_argument("--landmarks-dir", default=None,
                    help="precomputed <video_id>.npy landmarks (pose/fusion)")
+    p.add_argument("--skip-errors", action="store_true",
+                   help="skip undecodable clips instead of failing")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("train", help="train/fine-tune a model")

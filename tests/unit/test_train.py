@@ -57,6 +57,44 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_dp_matches_single_device_with_batchnorm():
+    """BatchNorm statistics under DP must equal the single-device run:
+    GSPMD computes the batch mean/var over the GLOBAL (sharded) batch."""
+    from asltpu.config import MobileNetV2GRUConfig, PreprocessConfig
+
+    cfg = MobileNetV2GRUConfig(
+        num_classes=4, gru_hidden=16, dropout=0.0, compute_dtype="float32",
+        preprocess=PreprocessConfig(num_frames=2, staging_size=(32, 32),
+                                    resize_short=32, crop=32),
+    )
+    module = build_module(cfg)
+    tcfg = TrainConfig(batch_size=8, num_steps=2, warmup_steps=1,
+                       log_every=1, ckpt_every=100, grad_clip_norm=10.0)
+    dummy = (jnp.zeros((1, 2, 32, 32, 3)),)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (8, 2, 32, 32, 3), dtype=np.uint8)
+    labels = np.arange(8, dtype=np.int32) % 4
+
+    state0 = create_train_state(module, tcfg, dummy, seed=0)
+    step_1d = make_train_step(module, tcfg, pp_cfg=cfg.preprocess)
+    s1, m1 = step_1d(state0, frames, labels)
+
+    mesh = make_mesh()
+    state0b = create_train_state(module, tcfg, dummy, seed=0)
+    state0b = jax.device_put(state0b, replicated_sharding(mesh))
+    step_dp = make_train_step(module, tcfg, pp_cfg=cfg.preprocess, mesh=mesh)
+    f_s, l_s = shard_batch(mesh, (frames, labels))
+    s8, m8 = step_dp(state0b, f_s, l_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # BN running stats must match — the DP batch statistics are GLOBAL
+    # (per-shard statistics would differ at O(0.1); cross-device
+    # accumulation-order noise is O(1e-5)).
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_train_loss_decreases():
     module = build_module(CFG)
     tcfg = TrainConfig(batch_size=8, num_steps=20, warmup_steps=2,
