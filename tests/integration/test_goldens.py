@@ -15,11 +15,29 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 _SPECS = {
     "mobilenet_gru": dict(
         name="mobilenet_gru", num_classes=6, gru_hidden=32,
+        compute_dtype="float32",
         preprocess={"num_frames": 4, "staging_size": (64, 64),
                     "resize_short": 56, "crop": 48},
     ),
     "pose_bilstm": dict(
         name="pose_bilstm", num_classes=6, hidden_size=16, num_frames=8,
+    ),
+    "resnet_transformer": dict(
+        name="resnet_transformer", num_classes=6, d_model=512,
+        compute_dtype="float32",
+        preprocess={"num_frames": 3, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
+    ),
+    "i3d": dict(
+        name="i3d", num_classes=6, compute_dtype="float32",
+        preprocess={"num_frames": 8, "staging_size": (40, 40),
+                    "resize_short": 36, "crop": 32},
+    ),
+    "two_stream": dict(
+        name="two_stream", num_classes=6, d_model=64, num_frames=4,
+        compute_dtype="float32",
+        preprocess={"num_frames": 4, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
     ),
 }
 
@@ -37,7 +55,11 @@ def _compute(spec_key):
         clip = rng.integers(
             0, 256, size=(pp.num_frames, *pp.staging_size, 3), dtype=np.uint8
         )
-        _, logits = api.predict(model, clip)
+        if model.takes_landmarks:  # fusion
+            lm = synthetic_landmarks(1, pp.num_frames, seed=1234)[0]
+            _, logits = api.predict(model, clip, landmarks=lm)
+        else:
+            _, logits = api.predict(model, clip)
     else:
         lm = synthetic_landmarks(1, 8, seed=1234)[0]
         _, logits = api.predict(model, lm)
