@@ -195,6 +195,7 @@ def cmd_eval(args) -> int:
     metrics = evaluate_split(
         model, ds.split(args.split), batch_size=args.batch,
         max_clips=args.max_clips, landmarks_for=landmarks_for,
+        skip_errors=args.skip_errors,
     )
     print(json.dumps(metrics))
     return 0
@@ -302,6 +303,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-clips", type=int, default=None)
     p.add_argument("--landmarks-dir", default=None,
                    help="precomputed <video_id>.npy landmarks (pose/fusion)")
+    p.add_argument("--skip-errors", action="store_true",
+                   help="skip undecodable clips instead of failing")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("serve", help="HTTP inference server")

@@ -46,20 +46,23 @@ def evaluate_split(
     num_decode_workers: int = 4,
     landmarks_for=None,
     max_clips: Optional[int] = None,
+    skip_errors: bool = False,
 ) -> Dict[str, float]:
-    """Run streaming inference over a WLASL split and report top-1/top-5."""
+    """Run streaming inference over a WLASL split and report top-1/top-5.
+
+    ``skip_errors`` drops undecodable clips (with a logged warning); the
+    accuracy denominator counts only evaluated clips and the skipped count
+    is reported."""
     records = [r for r in records if r.path][:max_clips]
-    labels = np.asarray([r.label for r in records])
-    logits = np.stack(
-        [
-            lg
-            for _, _, lg in stream_predict(
-                model, records, batch_size=batch_size,
-                num_decode_workers=num_decode_workers,
-                landmarks_for=landmarks_for,
-            )
-        ]
-    )
+    label_by_path = {r.path: r.label for r in records}
+    results = list(stream_predict(
+        model, records, batch_size=batch_size,
+        num_decode_workers=num_decode_workers,
+        landmarks_for=landmarks_for, skip_errors=skip_errors,
+    ))
+    logits = np.stack([lg for _, _, lg in results])
+    labels = np.asarray([label_by_path[p] for p, _, _ in results])
     metrics = topk_accuracy(logits, labels)
-    metrics["num_clips"] = float(len(records))
+    metrics["num_clips"] = float(len(results))
+    metrics["num_skipped"] = float(len(records) - len(results))
     return metrics
