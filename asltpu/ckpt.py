@@ -93,10 +93,20 @@ def _is_step_dir(path: str) -> bool:
     return os.path.basename(path).isdigit() and os.path.isdir(path)
 
 
-def save_train_state(directory: str, state) -> str:
+def save_train_state(directory: str, state, keep: int = 3) -> str:
     """Save a TrainState (params + opt + step + RNG — SURVEY.md §5.4) under
-    ``directory/<step>``."""
-    return save_variables(directory, _state_to_tree(state), int(state.step))
+    ``directory/<step>``, pruning to the newest ``keep`` step dirs."""
+    path = save_variables(directory, _state_to_tree(state), int(state.step))
+    if keep > 0:
+        import shutil
+
+        steps = sorted(
+            (int(d) for d in os.listdir(directory) if d.isdigit()),
+            reverse=True,
+        )
+        for old in steps[keep:]:
+            shutil.rmtree(os.path.join(directory, str(old)), ignore_errors=True)
+    return path
 
 
 def try_restore_train_state(directory: str, state):

@@ -247,7 +247,9 @@ def train(
         if eval_fn is not None and (step + 1) % train_cfg.eval_every == 0:
             run_eval(state, step + 1)
         if (step + 1) % train_cfg.ckpt_every == 0:
-            _ckpt.save_train_state(train_cfg.ckpt_dir, state)
+            _ckpt.save_train_state(
+                train_cfg.ckpt_dir, state, keep=train_cfg.ckpt_keep
+            )
     if eval_fn is not None:
         run_eval(state, int(state.step))
     return state

@@ -62,3 +62,24 @@ def test_inference_restore_from_train_checkpoint(tmp_path):
         np.asarray(jax.tree.leaves(m3.variables["params"])[0]),
         np.asarray(jax.tree.leaves(FakeState.params)[0]),
     )
+
+
+def test_save_train_state_prunes_old_steps(tmp_path):
+    import os
+
+    m = _model()
+
+    class S:
+        params = m.variables["params"]
+        batch_stats = {}
+        opt_state = {}
+        rng = jax.random.PRNGKey(0)
+
+    d = str(tmp_path / "prune")
+    for step in (2, 4, 6, 8):
+        S.step = jnp.int32(step)
+        ckpt.save_train_state(d, S, keep=2)
+    assert sorted(int(x) for x in os.listdir(d) if x.isdigit()) == [6, 8]
+    # Latest restore still works after pruning.
+    restored = ckpt.restore_variables(d, {"params": m.variables["params"]})
+    assert "params" in restored

@@ -97,3 +97,32 @@ def test_landmarks_endpoint(tmp_path):
     finally:
         httpd.shutdown()
         predictor.shutdown()
+
+
+def test_http_concurrent_clients_batch(http_server, tmp_path):
+    """Concurrent HTTP clients must be dynamically batched on the device."""
+    import threading
+
+    base, _ = http_server
+    path = str(tmp_path / "cc.mp4")
+    write_video(path, num_frames=10, size=(80, 80), seed=9)
+    data = open(path, "rb").read()
+    results = {}
+
+    def client(i):
+        results[i] = _post(base + "/predict", data)
+
+    # Warm the compile first so all 6 land in the same batching window.
+    _post(base + "/predict", data)
+    code, before = _get(base + "/stats")
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(code == 200 for code, _ in results.values())
+    code, after = _get(base + "/stats")
+    new_requests = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_requests == 6
+    assert new_batches < 6  # at least one multi-request batch formed
