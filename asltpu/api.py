@@ -240,7 +240,6 @@ def stream_predict(
     for landmark-consuming models.
     """
     pp: PreprocessConfig = getattr(model.cfg, "preprocess", PreprocessConfig())
-    pool = DecodePool(pp, num_workers=num_decode_workers)
     fn = model.predict_fn()
 
     # Items may be video paths or ClipRecords (frame segment + bbox honored
@@ -252,48 +251,87 @@ def stream_predict(
     pose_only = isinstance(model.cfg, PoseBiLSTMConfig)
     on_error = "skip" if skip_errors else "raise"
 
+    def load_lm(path):
+        """landmarks_for with skip_errors semantics (None on failure)."""
+        try:
+            return landmarks_for(path)
+        except Exception:
+            if not skip_errors:
+                raise
+            from asltpu.utils.logging import get_logger
+
+            get_logger("asltpu.stream").warning(
+                "skipping clip with unloadable landmarks: %s", path,
+                exc_info=True,
+            )
+            return None
+
     if pose_only:
         if landmarks_for is None:
-            pool.shutdown()
             raise ValueError(
                 "pose models stream from landmarks: pass landmarks_for="
             )
 
-        # No video decode needed: batch landmarks directly.
+        # No video decode or DecodePool needed: batch landmarks directly.
         def host_batches():
             for i in range(0, len(paths), batch_size):
-                chunk = paths[i : i + batch_size]
-                lms = np.stack([landmarks_for(p) for p in chunk])
-                pad = batch_size - len(chunk)
+                loaded = [
+                    (i + j, lm)
+                    for j, lm in enumerate(
+                        load_lm(p) for p in paths[i : i + batch_size]
+                    )
+                    if lm is not None
+                ]
+                if not loaded:
+                    continue
+                lms = np.stack([lm for _, lm in loaded])
+                pad = batch_size - len(loaded)
                 if pad:
                     lms = np.concatenate(
                         [lms, np.repeat(lms[-1:], pad, axis=0)]
                     )
-                yield (lms, np.arange(i, i + len(chunk), dtype=np.int32))
+                yield (lms, np.asarray([k for k, _ in loaded], np.int32))
 
-        try:
-            for lms, kept in Prefetcher(host_batches(), depth=prefetch_depth):
-                logits = fn(model.variables, lms)
-                kept = np.asarray(jax.device_get(kept))
-                logits = np.asarray(jax.device_get(logits))[: len(kept)]
-                ids = logits.argmax(axis=-1)
-                for j, k in enumerate(kept):
-                    gloss = gloss_names[ids[j]] if gloss_names else int(ids[j])
-                    yield paths[int(k)], gloss, logits[j]
-        finally:
-            pool.shutdown()
+        for lms, kept in Prefetcher(host_batches(), depth=prefetch_depth):
+            logits = fn(model.variables, lms)
+            kept = np.asarray(jax.device_get(kept))
+            logits = np.asarray(jax.device_get(logits))[: len(kept)]
+            ids = logits.argmax(axis=-1)
+            for j, k in enumerate(kept):
+                gloss = gloss_names[ids[j]] if gloss_names else int(ids[j])
+                yield paths[int(k)], gloss, logits[j]
         return
+
+    pool = DecodePool(pp, num_workers=num_decode_workers)
 
     def host_batches():
         for frames, kept in pool.map_batches(items, batch_size, on_error):
-            kept_arr = np.asarray(kept, np.int32)
             if needs_lm:
-                batch_paths = [paths[k] for k in kept]
-                batch_paths += [batch_paths[-1]] * (frames.shape[0] - len(kept))
-                lms = np.stack([landmarks_for(p) for p in batch_paths])
-                yield (frames, lms, kept_arr)
+                # Load landmarks per kept clip; a failed load drops the clip
+                # (row) under skip_errors. The batch is re-padded to the
+                # compiled batch_size afterwards.
+                loaded = []
+                for row, k in enumerate(kept):
+                    lm = load_lm(paths[k])
+                    if lm is not None:
+                        loaded.append((k, row, lm))
+                if not loaded:
+                    continue
+                rows = [row for _, row, _ in loaded]
+                frames_sel = frames[rows]
+                lms = np.stack([lm for _, _, lm in loaded])
+                pad = frames.shape[0] - len(loaded)
+                if pad > 0:
+                    frames_sel = np.concatenate(
+                        [frames_sel, np.repeat(frames_sel[-1:], pad, axis=0)]
+                    )
+                    lms = np.concatenate(
+                        [lms, np.repeat(lms[-1:], pad, axis=0)]
+                    )
+                kept = [k for k, _, _ in loaded]
+                yield (frames_sel, lms, np.asarray(kept, np.int32))
             else:
-                yield (frames, kept_arr)
+                yield (frames, np.asarray(kept, np.int32))
 
     try:
         for item in Prefetcher(host_batches(), depth=prefetch_depth):

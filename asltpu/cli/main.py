@@ -95,6 +95,14 @@ def cmd_train(args) -> int:
     from asltpu.data.wlasl import WLASLIndex, batches_from_records
     from asltpu.train.loop import train
 
+    from asltpu.config import CONFIG_REGISTRY as _REG
+
+    if args.model in _REG and not hasattr(_REG[args.model](), "preprocess"):
+        raise SystemExit(
+            "error: CLI training decodes RGB clips; landmark-input models "
+            "(pose_bilstm) train via the library API with precomputed "
+            "landmarks (see asltpu.train.loop.train)"
+        )
     overrides = {}
     if args.num_classes:
         overrides["num_classes"] = args.num_classes
@@ -152,12 +160,20 @@ def cmd_train(args) -> int:
     eval_batches = None
     eval_records = ds.split(args.eval_split) if args.eval_split else []
     if eval_records:
+        eval_cache: list = []
+
         def eval_batches():
-            for i in range(0, len(eval_records) - tcfg.batch_size + 1,
-                           tcfg.batch_size):
-                recs = eval_records[i : i + tcfg.batch_size]
-                yield (np.stack([decode_record(r, pp) for r in recs]),
-                       np.asarray([r.label for r in recs], np.int32))
+            # Eval splits are small and fixed: decode once, reuse every
+            # eval cycle (re-decoding serially stalls the TPU for minutes).
+            if not eval_cache:
+                for i in range(0, len(eval_records) - tcfg.batch_size + 1,
+                               tcfg.batch_size):
+                    recs = eval_records[i : i + tcfg.batch_size]
+                    eval_cache.append(
+                        (np.stack([decode_record(r, pp) for r in recs]),
+                         np.asarray([r.label for r in recs], np.int32))
+                    )
+            yield from eval_cache
 
     state = train(
         module, tcfg, Prefetcher(batches(), depth=2), _dummy_inputs(cfg),

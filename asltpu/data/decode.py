@@ -63,6 +63,10 @@ def decode_sampled_frames(
             )
         first = max(frame_start - 1, 0)
         last = total if frame_end < 0 else min(frame_end, total)
+        if first >= last:
+            # Stale segment metadata (start past EOF): fall back to the
+            # full video rather than failing on a decodable file.
+            first, last = 0, total
         seg = max(last - first, 1)
         want = first + uniform_sample_indices(seg, num_frames)
         pos = 0
@@ -247,6 +251,9 @@ class DecodePool:
         for i in range(0, len(paths), batch_size):
             top_up(i + batch_size + window)
             chunk = futures[i : i + batch_size]
+            # Release consumed futures — a Future retains its result array,
+            # so keeping them referenced would defeat the memory bound.
+            futures[i : i + batch_size] = [None] * len(chunk)
             clips, kept = [], []
             for j, f in enumerate(chunk):
                 try:

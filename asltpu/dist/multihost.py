@@ -27,26 +27,33 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> int:
-    """Initialize multi-process JAX (no-op when already initialized or
-    single-process with no coordinator configured).
+    """Initialize multi-process JAX and return the process index.
 
-    On TPU pods the arguments default from the environment
-    (``jax.distributed.initialize()`` with no args); pass them explicitly
-    for manual bring-up. Returns the process index.
+    - Explicit args → manual bring-up with those args.
+    - No args on a TPU pod (cluster env detected: JAX_COORDINATOR_ADDRESS /
+      COORDINATOR_ADDRESS / CLOUD_TPU_TASK_ID present) →
+      ``jax.distributed.initialize()`` auto-configuration.
+    - No args, no cluster env → single-process, returns 0.
+
+    Bring-up failures PROPAGATE: silently continuing single-process on a
+    pod would train independent replicas with wrong gradients.
     """
+    import os
+
     if jax.process_count() > 1:
         return jax.process_index()
-    try:
-        if coordinator_address or num_processes:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        # else: single process, nothing to do — calling initialize() without
-        # env configuration would block waiting for a coordinator.
-    except RuntimeError:
-        pass  # already initialized
+    if coordinator_address or num_processes:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "CLOUD_TPU_TASK_ID")
+    ):
+        jax.distributed.initialize()
     return jax.process_index()
 
 

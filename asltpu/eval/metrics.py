@@ -60,6 +60,9 @@ def evaluate_split(
         num_decode_workers=num_decode_workers,
         landmarks_for=landmarks_for, skip_errors=skip_errors,
     ))
+    if not results:
+        return {"top1": 0.0, "top5": 0.0, "num_clips": 0.0,
+                "num_skipped": float(len(records))}
     logits = np.stack([lg for _, _, lg in results])
     labels = np.asarray([label_by_path[p] for p, _, _ in results])
     metrics = topk_accuracy(logits, labels)

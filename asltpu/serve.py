@@ -183,3 +183,13 @@ class PredictServer:
                     if not r.future.done():
                         r.future.set_exception(e)
         self._running = False
+        # Fail any request that raced past the _running check into the
+        # queue behind the shutdown sentinel — a silent orphan would block
+        # its caller until timeout.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(RuntimeError("server is shut down"))

@@ -48,14 +48,27 @@ class MetricsWriter:
 
     def _csv_for(self, keys: tuple) -> str:
         """One CSV per metric schema — interleaved train/eval writes get
-        separate, well-formed files instead of a header-switching mess."""
+        separate, well-formed files. The filename derives from the schema
+        CONTENT (not first-appearance order) so resumed runs append to the
+        same file, and the header is written only when the file is new."""
         if keys not in self._seen_schemas:
-            suffix = "" if not self._seen_schemas else f"_{len(self._seen_schemas)}"
+            metric_keys = [k for k in keys if k not in ("step", "wall_time")]
+            if any(k.startswith("eval_") for k in metric_keys):
+                suffix = "_eval"
+            elif "loss" in metric_keys:
+                suffix = ""
+            else:
+                import hashlib
+
+                suffix = "_" + hashlib.sha1(
+                    ",".join(metric_keys).encode()
+                ).hexdigest()[:6]
             path = os.path.join(
                 self._log_dir, f"{self._name}_metrics{suffix}.csv"
             )
-            with open(path, "a", newline="") as f:
-                csv.DictWriter(f, fieldnames=list(keys)).writeheader()
+            if not os.path.exists(path):
+                with open(path, "a", newline="") as f:
+                    csv.DictWriter(f, fieldnames=list(keys)).writeheader()
             self._seen_schemas[keys] = path
         return self._seen_schemas[keys]
 
