@@ -40,6 +40,16 @@ from asltpu.models import (
 from asltpu.ops.preprocess import preprocess_clip
 
 
+def gloss_label(idx, gloss_names=None):
+    """Gloss id → display label, falling back to the integer id when the
+    supplied name list is shorter than the model's class count (a truncated
+    index must not crash the whole batch — mirrors eval.metrics.topk_entries)."""
+    i = int(idx)
+    if gloss_names is not None and 0 <= i < len(gloss_names):
+        return gloss_names[i]
+    return i
+
+
 def build_module(cfg: ModelConfig):
     """Config dataclass → flax module instance."""
     if isinstance(cfg, MobileNetV2GRUConfig):
@@ -94,6 +104,7 @@ class Model:
     cfg: ModelConfig
     module: Any
     variables: Dict[str, Any]
+    prefer_split: bool = False
     _predict_jit: Any = None
 
     @property
@@ -105,10 +116,20 @@ class Model:
         return isinstance(self.cfg, (PoseBiLSTMConfig, TwoStreamFusionConfig))
 
     def predict_fn(self):
-        """The single XLA program: staged uint8 frames (and/or landmarks) →
-        logits [B, num_classes]."""
+        """Staged uint8 frames (and/or landmarks) → logits [B, num_classes].
+
+        Default: ONE jit-compiled XLA program (preprocess → backbone → head),
+        the ``BASELINE.json:4`` contract. With ``prefer_split`` (and a
+        backbone/head config), the same math runs as TWO jitted programs —
+        see :meth:`split_predict_fn` for why a deployment would want that.
+        """
         if self._predict_jit is not None:
             return self._predict_jit
+        if self.prefer_split:
+            fn = self.split_predict_fn()
+            if fn is not None:
+                self._predict_jit = fn
+                return fn
         cfg = self.cfg
         module = self.module
         pp: Optional[PreprocessConfig] = getattr(cfg, "preprocess", None)
@@ -136,24 +157,179 @@ class Model:
         self._predict_jit = fn
         return fn
 
+    def split_predict_fn(self):
+        """The inference math as TWO jitted programs — (preprocess+backbone)
+        then (temporal head) — with the [B, T, F] features staying on device
+        between them. Numerically identical to the fused program (tested).
+
+        Why it exists: on hosts where the TPU link is relay-mediated (this
+        dev environment), compiling/first-executing one LARGE fused program
+        degrades host→device bandwidth ~50× for the process lifetime, while
+        the two smaller programs compile in seconds and leave the link
+        healthy (measured round 2; README "known environment limits"). On a
+        healthy direct-PCIe host the fused program remains the right
+        default — the split costs one extra dispatch.
+
+        Returns None for configs without a backbone/head decomposition.
+        """
+        cfg = self.cfg
+        pp: Optional[PreprocessConfig] = getattr(cfg, "preprocess", None)
+        if isinstance(cfg, MobileNetV2GRUConfig):
+            from asltpu.models.mobilenetv2 import MobileNetV2
+            from asltpu.models.temporal import GRUHead
+
+            bb = MobileNetV2(cfg.width_mult, dtype=cfg.compute_jnp_dtype)
+            head = GRUHead(cfg.num_classes, cfg.gru_hidden, cfg.gru_layers,
+                           cfg.dropout)
+        elif isinstance(cfg, ResNet18TransformerConfig):
+            from asltpu.models.resnet import ResNet18
+            from asltpu.models.temporal import TransformerHead
+
+            bb = ResNet18(dtype=cfg.compute_jnp_dtype)
+            head = TransformerHead(
+                cfg.num_classes, d_model=cfg.d_model, num_heads=cfg.num_heads,
+                num_layers=cfg.num_tx_layers, mlp_ratio=cfg.mlp_ratio,
+                dropout=cfg.dropout, dtype=cfg.compute_jnp_dtype,
+            )
+        else:
+            return None
+
+        @jax.jit
+        def feats_fn(v_bb, frames_u8):
+            clip = preprocess_clip(frames_u8, pp)
+            b, t = clip.shape[:2]
+            f = bb.apply(v_bb, clip.reshape(b * t, *clip.shape[2:]), False)
+            return f.reshape(b, t, -1)
+
+        @jax.jit
+        def head_fn(v_head, feats):
+            return head.apply(v_head, feats, False)
+
+        def fn(variables, frames_u8):
+            v_bb = {"params": variables["params"]["backbone"]}
+            stats = variables.get("batch_stats")
+            if stats:
+                v_bb["batch_stats"] = stats["backbone"]
+            v_head = {"params": variables["params"]["head"]}
+            return head_fn(v_head, feats_fn(v_bb, frames_u8))
+
+        return fn
+
+
+def serial_device_put(tree: Any, device=None) -> Any:
+    """Transfer a pytree host→device with STRICTLY SERIAL blocking per-leaf
+    copies. A pytree ``jax.device_put`` issues the copies concurrently, which
+    this host's relay link punishes two ways: concurrent DMA thrashes to
+    ~0.14 GB/s, and (measured round 2) the burst leaves the link degraded
+    for the process lifetime. Serial blocking copies sustain ~1.5 GB/s and
+    leave it healthy — the same discipline as the data Prefetcher."""
+    if device is None:
+        device = jax.devices()[0]
+    leaves, treedef = jax.tree.flatten(tree)
+    out = []
+    for leaf in leaves:
+        d = jax.device_put(leaf, device)
+        jax.block_until_ready(d)
+        out.append(d)
+    return jax.tree.unflatten(treedef, out)
+
+
+def packed_device_put(tree: Any, device=None) -> Any:
+    """Transfer a pytree host→device as ONE flat buffer per dtype, then
+    slice/reshape the leaves back on device in a small jitted program.
+
+    Rationale: a parameter tree is hundreds of small leaves; per-leaf
+    transfers cost one relay round-trip each (seconds each when the link is
+    throttled — see README "known environment limits"), and a concurrent
+    pytree ``device_put`` thrashes the link. Packing makes the upload
+    O(dtypes) round-trips at full bandwidth; the on-device unpack is a tiny
+    program (slices + reshapes) that compiles in seconds and moves bytes at
+    HBM bandwidth."""
+    if device is None:
+        device = jax.devices()[0]
+    leaves, treedef = jax.tree.flatten(tree)
+    if len(leaves) <= 4:
+        return serial_device_put(tree, device)
+    by_dtype: Dict[Any, list] = {}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        by_dtype.setdefault(arr.dtype, []).append((i, arr))
+    out: list = [None] * len(leaves)
+    for dtype, items in by_dtype.items():
+        flat = np.concatenate([a.reshape(-1) for _, a in items])
+        dflat = jax.device_put(flat, device)
+        jax.block_until_ready(dflat)
+        specs = tuple(
+            (int(sum(a.size for _, a in items[:k])), items[k][1].shape)
+            for k in range(len(items))
+        )
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def unpack(flat, specs):
+            return tuple(
+                jax.lax.dynamic_slice(
+                    flat, (off,), (int(np.prod(shape)) or 1,)
+                ).reshape(shape)
+                for off, shape in specs
+            )
+
+        pieces = unpack(dflat, specs)
+        for (i, _), piece in zip(items, pieces):
+            out[i] = piece
+    return jax.tree.unflatten(treedef, out)
+
+
+def init_variables(module, cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
+    """Initialize model variables ON THE HOST CPU and serially upload them.
+
+    Rationale (measured, round 2): jitting ``module.init`` on the TPU sends
+    the full-model init program through the remote compile service (~200 s
+    for the north-star model) and its execution degrades the relay link
+    ~50× for the rest of the process. Eager CPU init takes seconds, the
+    ~20 MB of parameters upload in ~1 s, and the link stays at full rate.
+    On a direct-PCIe host either path works; this one is never worse.
+
+    The init dummy uses a REDUCED spatial size: conv/backbone parameter
+    shapes are spatial-size-independent (only channel/temporal dims
+    matter — the GRU sees pooled 1280-d features, the transformer's
+    positional table depends on T), so a 32² eager CPU trace replaces a
+    224² one (~7× faster init on a 1-core host).
+    """
+    rng = jax.random.PRNGKey(seed)
+    dummy = _dummy_inputs(cfg, init_spatial=32)
+    cpus = jax.devices("cpu")
+    default = jax.devices()[0]
+    if cpus and default.platform != "cpu":
+        with jax.default_device(cpus[0]):
+            # One jitted CPU program (compiles locally, ~2× faster than
+            # eager op-by-op dispatch on a 1-core host).
+            variables = jax.jit(functools.partial(module.init, rng))(
+                *jax.device_put(dummy, cpus[0])
+            )
+            jax.block_until_ready(variables)
+        return packed_device_put(variables, default)
+    return jax.jit(functools.partial(module.init, rng))(*dummy)
+
 
 def load_model(
     name: str,
     checkpoint: Optional[str] = None,
     seed: int = 0,
+    prefer_split: bool = False,
     **overrides,
 ) -> Model:
     """Build (and optionally restore) a model by config name.
 
     ``checkpoint`` may be an orbax directory or a torch ``.pt/.pth`` file
     (the C14 importer handles the latter for reference-weight parity).
+    ``prefer_split`` makes :meth:`Model.predict_fn` use the two-program
+    inference chain where available (see :meth:`Model.split_predict_fn`).
     """
     cfg = get_config(name, **overrides)
     module = build_module(cfg)
-    rng = jax.random.PRNGKey(seed)
-    dummy = _dummy_inputs(cfg)
-    variables = jax.jit(functools.partial(module.init, rng))(*dummy)
-    model = Model(cfg=cfg, module=module, variables=variables)
+    variables = init_variables(module, cfg, seed)
+    model = Model(cfg=cfg, module=module, variables=variables,
+                  prefer_split=prefer_split)
     if checkpoint:
         from asltpu import ckpt as _ckpt
 
@@ -166,14 +342,20 @@ def load_model(
     return model
 
 
-def _dummy_inputs(cfg: ModelConfig) -> Tuple[Any, ...]:
+def _dummy_inputs(
+    cfg: ModelConfig, init_spatial: Optional[int] = None
+) -> Tuple[Any, ...]:
+    """Dummy inputs shaped for ``module.init``. ``init_spatial`` substitutes
+    a smaller spatial size (parameter shapes don't depend on it; temporal
+    and channel dims are kept — see :func:`init_variables`)."""
     if isinstance(cfg, PoseBiLSTMConfig):
         return (
             jnp.zeros((1, cfg.num_frames, cfg.num_landmarks, cfg.landmark_dim),
                       jnp.float32),
         )
     pp = cfg.preprocess  # type: ignore[attr-defined]
-    clip = jnp.zeros((1, pp.num_frames, pp.crop, pp.crop, 3), jnp.float32)
+    hw = min(init_spatial, pp.crop) if init_spatial else pp.crop
+    clip = jnp.zeros((1, pp.num_frames, hw, hw, 3), jnp.float32)
     if isinstance(cfg, TwoStreamFusionConfig):
         lm = jnp.zeros((1, cfg.num_frames, cfg.num_landmarks, cfg.landmark_dim),
                        jnp.float32)
@@ -198,7 +380,13 @@ def predict(
     The device side is one XLA program (preprocess → backbone → head).
     """
     fn = model.predict_fn()
-    batched = clip.ndim == 5 if model.takes_rgb else clip.ndim == 4
+    if model.takes_rgb:
+        pp = model.cfg.preprocess  # type: ignore[attr-defined]
+        # Per-clip staged rank: T + frame dims (3 for RGB HWC, 2 for packed
+        # I420 planes) — batched input carries one more leading axis.
+        batched = clip.ndim == 2 + len(pp.staged_frame_shape)
+    else:
+        batched = clip.ndim == 4
     add_batch = not batched
     if add_batch:
         clip = clip[None]
@@ -216,7 +404,7 @@ def predict(
     ids = logits.argmax(axis=-1)
     glosses: Any = ids
     if gloss_names is not None:
-        glosses = [gloss_names[i] for i in ids]
+        glosses = [gloss_label(i, gloss_names) for i in ids]
     if add_batch:
         return (glosses[0], logits[0])
     return glosses, logits
@@ -231,21 +419,29 @@ def stream_predict(
     gloss_names: Optional[Sequence[str]] = None,
     prefetch_depth: int = 2,
     skip_errors: bool = False,
-) -> Iterator[Tuple[str, Any, np.ndarray]]:
+    yield_items: bool = False,
+) -> Iterator[Tuple[Any, Any, np.ndarray]]:
     """Batched streaming inference (config #5 contract, SURVEY.md §3.4):
     decode workers → double-buffered prefetch → jitted predict; yields
     (path, gloss, logits) as batches complete.
 
     ``landmarks_for``: optional callable path → [T,543,3] landmarks, required
     for landmark-consuming models.
+
+    ``yield_items=True`` yields the ORIGINAL item (e.g. the ClipRecord)
+    instead of its display path — required when two records share a source
+    video file (distinct segments of one path) and the caller must not
+    collapse them.
     """
     pp: PreprocessConfig = getattr(model.cfg, "preprocess", PreprocessConfig())
     fn = model.predict_fn()
 
     # Items may be video paths or ClipRecords (frame segment + bbox honored
-    # by the decode pool); results are keyed by the display path either way.
+    # by the decode pool); results are keyed by the display path (or, with
+    # yield_items, the original item) either way.
     items = list(paths)
     paths = [it.path if hasattr(it, "path") else it for it in items]
+    out_of = items if yield_items else paths
 
     needs_lm = model.takes_landmarks
     pose_only = isinstance(model.cfg, PoseBiLSTMConfig)
@@ -292,14 +488,14 @@ def stream_predict(
                     )
                 yield (lms, np.asarray([k for k, _ in loaded], np.int32))
 
-        for lms, kept in Prefetcher(host_batches(), depth=prefetch_depth):
-            logits = fn(model.variables, lms)
-            kept = np.asarray(jax.device_get(kept))
-            logits = np.asarray(jax.device_get(logits))[: len(kept)]
-            ids = logits.argmax(axis=-1)
-            for j, k in enumerate(kept):
-                gloss = gloss_names[ids[j]] if gloss_names else int(ids[j])
-                yield paths[int(k)], gloss, logits[j]
+        with Prefetcher(host_batches(), depth=prefetch_depth) as pf:
+            for lms, kept in pf:
+                logits = fn(model.variables, lms)
+                kept = np.asarray(jax.device_get(kept))
+                logits = np.asarray(jax.device_get(logits))[: len(kept)]
+                ids = logits.argmax(axis=-1)
+                for j, k in enumerate(kept):
+                    yield out_of[int(k)], gloss_label(ids[j], gloss_names), logits[j]
         return
 
     pool = DecodePool(pp, num_workers=num_decode_workers)
@@ -334,18 +530,18 @@ def stream_predict(
                 yield (frames, np.asarray(kept, np.int32))
 
     try:
-        for item in Prefetcher(host_batches(), depth=prefetch_depth):
-            if needs_lm:
-                frames, lms, kept = item
-                logits = fn(model.variables, frames, lms)
-            else:
-                frames, kept = item
-                logits = fn(model.variables, frames)
-            kept = np.asarray(jax.device_get(kept))
-            logits = np.asarray(jax.device_get(logits))[: len(kept)]
-            ids = logits.argmax(axis=-1)
-            for j, k in enumerate(kept):
-                gloss = gloss_names[ids[j]] if gloss_names else int(ids[j])
-                yield paths[int(k)], gloss, logits[j]
+        with Prefetcher(host_batches(), depth=prefetch_depth) as pf:
+            for item in pf:
+                if needs_lm:
+                    frames, lms, kept = item
+                    logits = fn(model.variables, frames, lms)
+                else:
+                    frames, kept = item
+                    logits = fn(model.variables, frames)
+                kept = np.asarray(jax.device_get(kept))
+                logits = np.asarray(jax.device_get(logits))[: len(kept)]
+                ids = logits.argmax(axis=-1)
+                for j, k in enumerate(kept):
+                    yield out_of[int(k)], gloss_label(ids[j], gloss_names), logits[j]
     finally:
         pool.shutdown()

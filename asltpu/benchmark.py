@@ -6,12 +6,24 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
 
 Pipeline measured: cv2 host decode (thread pool) → double-buffered
-host→device prefetch → ONE XLA program (fused preprocess → MobileNetV2 →
-GRU → logits). The decode corpus is synthetic 2-second 256² mp4s (the real
-WLASL videos are takedown-prone; codec work is identical).
+host→device prefetch → ONE XLA program (preprocess → MobileNetV2 → GRU →
+logits). The decode corpus is synthetic mp4s (the real WLASL videos are
+takedown-prone; codec work is identical) — 256² by default, plus an optional
+realistic ≥480p corpus (``--realistic-corpus``) whose decode rate is
+reported separately so the headline number cannot hide decode cost.
 
-Extra diagnostic fields ride in the same JSON object (device-only
-throughput, decode-only throughput, batch size) — the required keys stay.
+Measurement ordering (matters on this host): this environment's TPU relay
+link degrades from ~1.5 GB/s to ~10-30 MB/s after the FIRST execution of a
+large program, and carries a global ~300 MB fast-transfer budget (see
+README "known environment limits"; measured in round 2). The e2e run
+therefore happens immediately after the single unavoidable warmup
+execution, BEFORE any transfer/device diagnostics that would drain the
+budget further.
+
+Wire format: staged frames default to packed I420 (``--staging-format
+yuv420``) — half the host→device bytes of RGB; the device converts
+(BT.601, validated against the cv2 oracle in tests/unit/test_preprocess.py).
+``--staging-format rgb`` measures the bit-parity staging instead.
 """
 
 from __future__ import annotations
@@ -26,6 +38,14 @@ import time
 import numpy as np
 
 
+def _staged_batch(pp, batch: int) -> np.ndarray:
+    """Random staged frames matching the wire format."""
+    return np.random.randint(
+        0, 256, size=(batch, pp.num_frames, *pp.staged_frame_shape),
+        dtype=np.uint8,
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -33,6 +53,16 @@ def main() -> int:
     ap.add_argument("--device-iters", type=int, default=20)
     ap.add_argument("--decode-workers", type=int, default=2)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--staging-format", choices=["rgb", "yuv420"],
+                    default="yuv420",
+                    help="wire format of staged frames (yuv420 = half bytes)")
+    ap.add_argument("--fused", action="store_true",
+                    help="measure the single fused XLA program instead of "
+                         "the split two-program chain (the fused compile "
+                         "degrades this host's relay link ~50x — see README)")
+    ap.add_argument("--realistic-corpus", action="store_true",
+                    help="also measure decode-only on a 640×480 corpus "
+                         "(real WLASL sources are ≥480p)")
     ap.add_argument(
         "--all-configs", action="store_true",
         help="also measure device-path throughput of every model config",
@@ -51,30 +81,63 @@ def main() -> int:
     from asltpu.data.prefetch import Prefetcher
     from asltpu.data.synthetic import write_video
 
-    # Transfer-thin staging: this v5e host's relay link degrades to
-    # ~37 MB/s once any large model is compiled (infrastructure quirk —
-    # see asltpu/data/prefetch.py), so the host performs resize+crop and
-    # only crop²·T uint8 bytes cross the link. Same math, fewer bytes.
+    # Transfer-thin staging: host performs resize+crop so only final-size
+    # bytes cross the degraded relay link; the device normalizes (and, for
+    # yuv420, converts colorspace) inside the one XLA program.
     model = load_model(
         "mobilenet_gru",
+        prefer_split=not args.fused,
         preprocess={
             "use_pallas": not args.no_pallas,
             "host_resize_short": 256,
             "staging_size": (224, 224),
             "resize_short": 224,
+            "staging_format": args.staging_format,
         },
     )
     pp = model.cfg.preprocess
     fn = model.predict_fn()
 
-    # ---- compile warmup -------------------------------------------------
-    frames = np.random.randint(
-        0, 256, size=(args.batch, pp.num_frames, *pp.staging_size, 3),
-        dtype=np.uint8,
-    )
-    frames_dev = jax.device_put(frames)
+    # ---- decode corpus (host-only; no link traffic) ----------------------
+    tmp = tempfile.mkdtemp(prefix="asltpu_bench_")
+    paths = []
+    for i in range(min(args.clips, 64)):  # reuse videos if clips > 64
+        p = os.path.join(tmp, f"clip{i:03d}.mp4")
+        write_video(p, num_frames=50, size=(256, 256), seed=i)
+        paths.append(p)
+    corpus = [paths[i % len(paths)] for i in range(args.clips)]
+
+    # ---- compile + warmup with DEVICE-CREATED input: zero link bytes spent
+    # before the e2e run (the relay carries a global fast-transfer budget).
+    import jax.numpy as jnp
+
+    frames = _staged_batch(pp, args.batch)
+    frames_dev = jax.jit(
+        lambda: jnp.zeros((args.batch, pp.num_frames, *pp.staged_frame_shape),
+                          jnp.uint8)
+    )()
     logits = fn(model.variables, frames_dev)
     jax.block_until_ready(logits)
+
+    # ---- end-to-end FIRST: decode pool → prefetch → device ---------------
+    pool = DecodePool(pp, num_workers=args.decode_workers)
+
+    def host_batches():
+        for batch, kept in pool.map_batches(corpus, args.batch):
+            yield batch, np.int32(len(kept))
+
+    t0 = time.perf_counter()
+    n_done = 0
+    last = None
+    pf = Prefetcher(host_batches(), depth=2)
+    try:
+        for dev_batch, n_kept in pf:
+            last = fn(model.variables, dev_batch)
+            n_done += int(n_kept)
+        jax.block_until_ready(last)
+    finally:
+        pf.close()
+    e2e_cps = n_done / (time.perf_counter() - t0)
 
     # ---- device-only throughput (staged frames already on device) -------
     import contextlib
@@ -99,41 +162,30 @@ def main() -> int:
     xfer_dt = (time.perf_counter() - t0) / 5
     xfer_cps = args.batch / xfer_dt
 
-    # ---- decode corpus --------------------------------------------------
-    tmp = tempfile.mkdtemp(prefix="asltpu_bench_")
-    paths = []
-    for i in range(min(args.clips, 64)):  # reuse videos if clips > 64
-        p = os.path.join(tmp, f"clip{i:03d}.mp4")
-        write_video(p, num_frames=50, size=(256, 256), seed=i)
-        paths.append(p)
-    corpus = [paths[i % len(paths)] for i in range(args.clips)]
-
     # ---- decode-only throughput ----------------------------------------
-    pool = DecodePool(pp, num_workers=args.decode_workers)
     t0 = time.perf_counter()
     n_dec = 0
     for batch, kept in pool.map_batches(corpus[: args.clips // 2], args.batch):
         n_dec += len(kept)
     decode_cps = n_dec / (time.perf_counter() - t0)
-
-    # ---- end-to-end: decode pool → prefetch transfer thread → device ----
-    # Decode is CPU-bound, the relay transfer is pure iowait: the decode
-    # thread(s) and the Prefetcher's serial-blocking transfer thread overlap
-    # cleanly even on this 1-core host; device compute overlaps via JAX
-    # async dispatch.
-    def host_batches():
-        for batch, kept in pool.map_batches(corpus, args.batch):
-            yield batch, np.int32(len(kept))
-
-    t0 = time.perf_counter()
-    n_done = 0
-    last = None
-    for dev_batch, n_kept in Prefetcher(host_batches(), depth=2):
-        last = fn(model.variables, dev_batch)
-        n_done += int(n_kept)
-    jax.block_until_ready(last)
-    e2e_cps = n_done / (time.perf_counter() - t0)
     pool.shutdown()
+
+    decode_480_cps = None
+    if args.realistic_corpus:
+        # Real WLASL sources are ≥480p — measure decode on 640×480 too.
+        paths480 = []
+        for i in range(16):
+            p = os.path.join(tmp, f"clip480_{i:02d}.mp4")
+            write_video(p, num_frames=50, size=(480, 640), seed=100 + i)
+            paths480.append(p)
+        pool480 = DecodePool(pp, num_workers=args.decode_workers)
+        corpus480 = [paths480[i % len(paths480)] for i in range(64)]
+        t0 = time.perf_counter()
+        n_dec = 0
+        for batch, kept in pool480.map_batches(corpus480, args.batch):
+            n_dec += len(kept)
+        decode_480_cps = n_dec / (time.perf_counter() - t0)
+        pool480.shutdown()
 
     per_config = {}
     if args.all_configs:
@@ -149,8 +201,15 @@ def main() -> int:
         "transfer_clips_per_sec": round(xfer_cps, 2),
         "decode_only_clips_per_sec": round(decode_cps, 2),
         "batch": args.batch,
+        "split_programs": not args.fused,
+        "staging_format": pp.staging_format,
+        "staged_mb_per_clip": round(
+            np.prod((pp.num_frames, *pp.staged_frame_shape)) / 1e6, 2
+        ),
         "platform": jax.devices()[0].platform,
     }
+    if decode_480_cps is not None:
+        result["decode_only_480p_clips_per_sec"] = round(decode_480_cps, 2)
     if per_config:
         result["device_clips_per_sec_by_config"] = per_config
     print(json.dumps(result))
@@ -180,9 +239,7 @@ def _bench_all_configs():
         inputs = []
         if model.takes_rgb:
             pp = model.cfg.preprocess
-            inputs.append(jax.device_put(np.random.randint(
-                0, 256, (bsz, pp.num_frames, *pp.staging_size, 3), np.uint8
-            )))
+            inputs.append(jax.device_put(_staged_batch(pp, bsz)))
         if model.takes_landmarks:
             inputs.append(jax.device_put(
                 synthetic_landmarks(bsz, nf, seed=0)

@@ -21,7 +21,7 @@ fails here first"):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +121,35 @@ def try_restore_train_state(directory: str, state):
         os.path.join(directory, str(max(steps))), _state_to_tree(state)
     )
     return state.replace(**tree)
+
+
+_DATA_STATE_FILE = "grain_state.bin"
+
+
+def save_data_state(directory: str, step: int, state_bytes: bytes) -> None:
+    """Persist the input-pipeline (grain iterator) state next to the train
+    state for the same step — SURVEY.md §5.4 resume semantics include the
+    data stream position, not just model state."""
+    step_dir = os.path.join(directory, str(step))
+    os.makedirs(step_dir, exist_ok=True)
+    with open(os.path.join(step_dir, _DATA_STATE_FILE), "wb") as f:
+        f.write(state_bytes)
+
+
+def load_data_state(directory: str) -> Optional[bytes]:
+    """Input-pipeline state of the LATEST checkpoint step, if saved."""
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(
+        (int(d) for d in os.listdir(directory) if d.isdigit()), reverse=True
+    )
+    for s in steps:
+        p = os.path.join(directory, str(s), _DATA_STATE_FILE)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return f.read()
+        break  # only the latest step may match the restored train state
+    return None
 
 
 def _state_to_tree(state) -> Dict[str, Any]:

@@ -144,11 +144,38 @@ def cmd_train(args) -> int:
         return 2
     pp = getattr(cfg, "preprocess", None)
 
-    def batches():
-        for recs in batches_from_records(records, tcfg.batch_size, seed=tcfg.seed):
-            frames = np.stack([decode_record(r, pp) for r in recs])
-            labels = np.asarray([r.label for r in recs], np.int32)
-            yield frames, labels
+    resumable_iter = None
+    if args.loader == "grain":
+        # Deterministic, RESUMABLE input pipeline: the grain iterator state
+        # is checkpointed with the train state, so a resumed run continues
+        # the data stream (no repeats/skips). worker_count=0 keeps decode
+        # in-process on small hosts; raise it on multi-core machines.
+        from asltpu import ckpt as _ckpt
+        from asltpu.data.loader import ResumableIterator, make_train_loader
+
+        loader = make_train_loader(
+            records, pp, tcfg.batch_size, seed=tcfg.seed,
+            num_epochs=None, worker_count=args.loader_workers,
+        )
+        raw_iter = iter(loader)
+        saved = _ckpt.load_data_state(args.ckpt_dir)
+        if saved is not None:
+            raw_iter.set_state(saved)
+            log.info("restored grain iterator state from %s", args.ckpt_dir)
+        resumable_iter = ResumableIterator(raw_iter)
+
+        def batches():
+            for frames, labels in resumable_iter:
+                yield frames, np.asarray(labels, np.int32)
+
+    else:
+
+        def batches():
+            for recs in batches_from_records(records, tcfg.batch_size,
+                                             seed=tcfg.seed):
+                frames = np.stack([decode_record(r, pp) for r in recs])
+                labels = np.asarray([r.label for r in recs], np.int32)
+                yield frames, labels
 
     if args.debug_nans:
         from asltpu.utils.profiling import enable_nan_debugging
@@ -180,18 +207,29 @@ def cmd_train(args) -> int:
         pp_cfg=pp, metric_writer=MetricsWriter(args.log_dir),
         augment=None if args.no_augment else AugmentConfig(),
         eval_batches=eval_batches,
+        resumable_iter=resumable_iter,
     )
     log.info("training done at step %d", int(state.step))
     return 0
 
 
 def cmd_eval(args) -> int:
+    from asltpu.config import CONFIG_REGISTRY
     from asltpu.data.wlasl import WLASLIndex
     from asltpu.eval.metrics import evaluate_split
 
+    if args.model not in CONFIG_REGISTRY:
+        raise SystemExit(
+            f"error: unknown model '{args.model}'; choose from "
+            f"{', '.join(sorted(CONFIG_REGISTRY))}"
+        )
+    # Default the gloss subset from the MODEL's contract (i3d → WLASL-2000),
+    # not a fixed 100 — otherwise `asl eval --model i3d` silently scores a
+    # different benchmark than the model was built for.
+    subset = args.num_classes or CONFIG_REGISTRY[args.model]().num_classes
     # Parse the index before the (minutes-long) model compile so bad paths
     # and empty splits fail fast.
-    ds = WLASLIndex(args.index, args.videos, subset=args.num_classes or 100)
+    ds = WLASLIndex(args.index, args.videos, subset=subset)
     if not ds.split(args.split):
         raise SystemExit(
             f"error: no clips with videos on disk for split '{args.split}'"
@@ -308,6 +346,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="override crop size (staging/resize scale with it)")
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time augmentation")
+    p.add_argument("--loader", choices=["records", "grain"], default="records",
+                   help="input pipeline: 'grain' = deterministic + resumable "
+                        "(iterator state checkpointed); 'records' = simple "
+                        "in-process shuffle")
+    p.add_argument("--loader-workers", type=int, default=0,
+                   help="grain decode worker processes (0 = in-process; "
+                        "raise on multi-core hosts)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="top-1/top-5 on a WLASL split")
@@ -325,7 +370,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("serve", help="HTTP inference server")
     _add_model_args(p)
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; the endpoint is unauthenticated, so "
+                        "binding non-loopback (e.g. 0.0.0.0) is an explicit "
+                        "opt-in")
     p.add_argument("--port", type=int, default=8476)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-delay-ms", type=float, default=10.0)

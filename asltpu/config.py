@@ -56,10 +56,27 @@ class PreprocessConfig:
     std: Tuple[float, float, float] = IMAGENET_STD
     out_dtype: str = "bfloat16"  # compute dtype the backbone consumes
     use_pallas: bool = True  # fused Pallas kernel vs. jnp reference path
+    # Wire format of staged frames. "yuv420" stages I420 planes (1.5 bytes
+    # per pixel instead of 3 — half the host→device traffic) and the device
+    # kernel performs the BT.601 YUV→RGB conversion; the source containers
+    # are 4:2:0-subsampled anyway, so chroma fidelity matches the video.
+    # Requires even staging dims. "rgb" is the bit-parity default.
+    staging_format: str = "rgb"  # "rgb" | "yuv420"
 
     @property
     def out_jnp_dtype(self):
         return jnp.dtype(self.out_dtype)
+
+    @property
+    def staged_frame_shape(self) -> Tuple[int, ...]:
+        """Per-frame staged shape on the wire: (Hs, Ws, 3) for RGB or the
+        packed I420 plane layout (Hs·3/2, Ws) for yuv420."""
+        hs, ws = self.staging_size
+        if self.staging_format == "yuv420":
+            if hs % 2 or ws % 2:
+                raise ValueError("yuv420 staging requires even dimensions")
+            return (hs * 3 // 2, ws)
+        return (hs, ws, 3)
 
 
 @dataclasses.dataclass(frozen=True)

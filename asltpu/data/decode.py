@@ -39,12 +39,15 @@ def decode_sampled_frames(
     frame_start: int = 1,
     frame_end: int = -1,
     bbox: Optional[Tuple[int, int, int, int]] = None,
+    staging_format: str = "rgb",
 ) -> np.ndarray:
     """Decode exactly the uniformly-sampled frames of a video segment.
 
     ``frame_start``/``frame_end`` are the WLASL 1-based inclusive segment
     bounds (-1 → EOF); ``bbox`` is an optional [x0, y0, x1, y1] signer crop
-    applied before staging. Returns uint8 RGB [T, Hs, Ws, 3].
+    applied before staging. Returns uint8 RGB [T, Hs, Ws, 3], or packed I420
+    planes [T, Hs·3/2, Ws] with ``staging_format="yuv420"`` (half the wire
+    bytes; the device kernel converts — asltpu.ops.preprocess).
     Frames beyond EOF (corrupt containers with bad frame counts) repeat the
     last good frame.
     """
@@ -59,7 +62,7 @@ def decode_sampled_frames(
             # Some containers don't report counts; fall back to full decode.
             return _decode_all_then_sample(
                 cap, num_frames, staging_size, host_resize_short,
-                frame_start, frame_end, bbox,
+                frame_start, frame_end, bbox, staging_format,
             )
         first = max(frame_start - 1, 0)
         last = total if frame_end < 0 else min(frame_end, total)
@@ -82,7 +85,10 @@ def decode_sampled_frames(
                 else:  # unreliable seek — fall back to sequential
                     cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
         hs, ws = staging_size
-        out = np.empty((num_frames, hs, ws, 3), dtype=np.uint8)
+        frame_shape = (
+            (hs * 3 // 2, ws) if staging_format == "yuv420" else (hs, ws, 3)
+        )
+        out = np.empty((num_frames, *frame_shape), dtype=np.uint8)
         want_set = {}
         for out_i, frame_i in enumerate(want):
             want_set.setdefault(int(frame_i), []).append(out_i)
@@ -93,7 +99,8 @@ def decode_sampled_frames(
                 ok, frame = cap.read()  # decode + convert
                 if not ok:
                     break
-                frame = _stage(frame, staging_size, host_resize_short, bbox)
+                frame = _stage(frame, staging_size, host_resize_short, bbox,
+                               staging_format)
                 for out_i in want_set[pos]:
                     out[out_i] = frame
                 last = frame
@@ -116,6 +123,7 @@ def decode_sampled_frames(
 def _decode_all_then_sample(
     cap, num_frames, staging_size, host_resize_short: int = 0,
     frame_start: int = 1, frame_end: int = -1, bbox=None,
+    staging_format: str = "rgb",
 ) -> np.ndarray:
     frames = []
     while True:
@@ -129,9 +137,11 @@ def _decode_all_then_sample(
     last = len(frames) if frame_end < 0 else min(frame_end, len(frames))
     frames = frames[first:last] or frames
     idx = uniform_sample_indices(len(frames), num_frames)
-    return np.stack(
-        [_stage(frames[i], staging_size, host_resize_short, bbox) for i in idx]
-    )
+    return np.stack([
+        _stage(frames[i], staging_size, host_resize_short, bbox,
+               staging_format)
+        for i in idx
+    ])
 
 
 def _stage(
@@ -139,6 +149,7 @@ def _stage(
     staging_size: Tuple[int, int],
     host_resize_short: int = 0,
     bbox=None,
+    staging_format: str = "rgb",
 ) -> np.ndarray:
     """BGR→RGB + ASPECT-PRESERVING resize + center crop to the fixed staging
     resolution (device sees static shapes without geometric distortion).
@@ -169,17 +180,24 @@ def _stage(
             frame_bgr, (rw, rh), interpolation=cv2.INTER_LINEAR
         )
     y0, x0 = (rh - hs) // 2, (rw - ws) // 2
-    return frame_bgr[y0 : y0 + hs, x0 : x0 + ws, ::-1]  # BGR → RGB
+    staged = frame_bgr[y0 : y0 + hs, x0 : x0 + ws]
+    if staging_format == "yuv420":
+        # Pack to I420 planes (SIMD-fast in cv2): 1.5 bytes/px on the wire;
+        # the device performs the inverse conversion (ops/preprocess.py).
+        return cv2.cvtColor(np.ascontiguousarray(staged),
+                            cv2.COLOR_BGR2YUV_I420)
+    return staged[:, :, ::-1]  # BGR → RGB
 
 
 def decode_clip(
     path: str, cfg: PreprocessConfig, num_frames: Optional[int] = None
 ) -> np.ndarray:
     """Public C1 entry: video path → staged uint8 frames
-    [T, Hs, Ws, 3] ready for the device preprocess kernel."""
+    [T, Hs, Ws, 3] (or packed I420 [T, Hs·3/2, Ws]) ready for the device
+    preprocess kernel."""
     return decode_sampled_frames(
         path, num_frames or cfg.num_frames, cfg.staging_size,
-        cfg.host_resize_short,
+        cfg.host_resize_short, staging_format=cfg.staging_format,
     )
 
 
@@ -189,6 +207,7 @@ def decode_record(rec, cfg: PreprocessConfig) -> np.ndarray:
     return decode_sampled_frames(
         rec.path, cfg.num_frames, cfg.staging_size, cfg.host_resize_short,
         frame_start=rec.frame_start, frame_end=rec.frame_end, bbox=rec.bbox,
+        staging_format=cfg.staging_format,
     )
 
 

@@ -21,12 +21,66 @@ from asltpu.data.decode import decode_record
 from asltpu.data.wlasl import ClipRecord
 
 
+class ResumableIterator:
+    """Wrap a grain ``PyGrainDatasetIterator`` so the state of the last
+    CONSUMED batch stays saveable while a Prefetcher pulls ahead.
+
+    The device-side Prefetcher (C3) keeps ``depth`` batches in flight, so at
+    checkpoint time the raw grain iterator has already advanced past what
+    the train loop actually consumed — saving ``get_state()`` directly would
+    SKIP those in-flight batches on resume. This wrapper snapshots
+    ``get_state()`` BEFORE each yielded batch; ``state_for(consumed)``
+    returns the snapshot that resumes exactly at batch index ``consumed``
+    (0-based count of batches the consumer finished).
+    """
+
+    def __init__(self, it, keep: int = 16):
+        self._it = it
+        self._keep = keep
+        self._snapshots: dict = {}
+        self._seq = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._snapshots[self._seq] = self._it.get_state()
+        # Prune far-behind snapshots (a checkpoint only ever needs one a few
+        # batches back — bounded by prefetch depth).
+        for k in [k for k in self._snapshots if k < self._seq - self._keep]:
+            del self._snapshots[k]
+        self._seq += 1
+        return next(self._it)
+
+    def state_for(self, consumed: int) -> Optional[bytes]:
+        """grain state that resumes with batch index ``consumed`` (i.e. the
+        consumer has finished batches [0, consumed))."""
+        if consumed >= self._seq:
+            # Consumer claims more than was pulled — only possible at the
+            # exact boundary; the raw state is correct there.
+            return self._it.get_state()
+        return self._snapshots.get(consumed)
+
+
 class ClipDataSource:
     """grain RandomAccessDataSource: record index → (staged frames, label)."""
 
     def __init__(self, records: Sequence[ClipRecord], pp: PreprocessConfig):
         self._records = [r for r in records if r.path]
         self._pp = pp
+
+    def __repr__(self) -> str:
+        # grain validates checkpointed iterator state against
+        # ``repr(data_source)`` — it must be STABLE across processes (the
+        # default object repr carries the id()), and content-addressed so a
+        # changed record list or preprocess config invalidates a stale state.
+        import hashlib
+
+        h = hashlib.sha1()
+        for r in self._records:
+            h.update(f"{r.path}|{r.label}|{r.frame_start}|{r.frame_end}".encode())
+        h.update(repr(self._pp).encode())
+        return f"ClipDataSource(n={len(self._records)}, key={h.hexdigest()[:12]})"
 
     def __len__(self) -> int:
         return len(self._records)

@@ -44,6 +44,7 @@ class Prefetcher:
         self._sharding = sharding
         self._deterministic = deterministic
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         if not deterministic:
             self._q: queue.Queue = queue.Queue(maxsize=self._depth)
             self._thread = threading.Thread(
@@ -61,6 +62,8 @@ class Prefetcher:
     def _worker(self):
         try:
             for batch in self._host_iter:
+                if self._stop.is_set():
+                    break
                 dev = self._put_device(batch)
                 # Block on THIS thread until the copy lands: measured on the
                 # v5e host, overlapping/async host→device copies thrash the
@@ -68,11 +71,51 @@ class Prefetcher:
                 # copies sustain ~1.2 GB/s. Serializing here still overlaps
                 # transfer with the consumer's compute.
                 jax.block_until_ready(dev)
-                self._q.put(dev)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(dev, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # propagate to consumer
             self._err = e
         finally:
-            self._q.put(self._SENTINEL)
+            # The sentinel MUST reach a live consumer (it blocks in q.get
+            # forever otherwise) — but close() may have abandoned the
+            # consumer side, so bound each attempt and re-check the stop
+            # flag rather than blocking unconditionally.
+            while True:
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        break
+
+    def close(self):
+        """Stop the transfer thread and release in-flight device batches.
+
+        Safe to call more than once; a consumer that exits its loop early
+        (break, exception) should call this — ``__iter__`` cannot know the
+        consumer abandoned it, and an un-closed worker stays blocked in
+        ``q.put`` pinning decoded + device buffers for the process lifetime.
+        """
+        if self._deterministic:
+            return
+        self._stop.set()
+        # Drain so a worker blocked in put() wakes and sees the stop flag.
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5)
+
+    def __enter__(self) -> "Prefetcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def __iter__(self) -> Iterator[Any]:
         if self._deterministic:

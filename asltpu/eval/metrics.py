@@ -54,17 +54,20 @@ def evaluate_split(
     accuracy denominator counts only evaluated clips and the skipped count
     is reported."""
     records = [r for r in records if r.path][:max_clips]
-    label_by_path = {r.path: r.label for r in records}
     results = list(stream_predict(
         model, records, batch_size=batch_size,
         num_decode_workers=num_decode_workers,
         landmarks_for=landmarks_for, skip_errors=skip_errors,
+        # Key results by record identity, not display path: two records may
+        # share a source video (distinct frame segments of one file) and
+        # must stay distinct label entries.
+        yield_items=True,
     ))
     if not results:
         return {"top1": 0.0, "top5": 0.0, "num_clips": 0.0,
                 "num_skipped": float(len(records))}
     logits = np.stack([lg for _, _, lg in results])
-    labels = np.asarray([label_by_path[p] for p, _, _ in results])
+    labels = np.asarray([rec.label for rec, _, _ in results])
     metrics = topk_accuracy(logits, labels)
     metrics["num_clips"] = float(len(results))
     metrics["num_skipped"] = float(len(records) - len(results))

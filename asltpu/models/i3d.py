@@ -111,9 +111,17 @@ class I3D(nn.Module):
                 x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2), padding="VALID")
 
         x = jnp.mean(x, axis=(2, 3))  # spatial pool → [B, T', 1024]
+        # Temporal half of pytorch-i3d's AvgPool3d((2, 7, 7), stride 1):
+        # consecutive time-step pairs are averaged before the logits conv, so
+        # endpoint steps weigh half in the final mean. Matching it here keeps
+        # imported Kinetics checkpoints logit-aligned with the layout the
+        # ckpt importer targets (the spatial 7×7 kernel is the full spatial
+        # extent at 224² input — the mean above generalizes it).
+        if x.shape[1] > 1:
+            x = 0.5 * (x[:, :-1] + x[:, 1:])
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        # 1×1×1 conv logits per remaining time step, then temporal mean —
-        # the original I3D head (averaging logits over time).
+        # 1×1×1 conv logits per pooled time step, then temporal mean — the
+        # original I3D head (averaging logits over time).
         logits_t = nn.Dense(self.num_classes, param_dtype=jnp.float32,
                             dtype=jnp.float32, name="logits")(
             x.astype(jnp.float32)

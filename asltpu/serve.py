@@ -168,12 +168,10 @@ class PredictServer:
                 logits = np.asarray(jax.device_get(logits))[: len(reqs)]
                 ids = logits.argmax(axis=-1)
                 now = time.perf_counter()
+                from asltpu.api import gloss_label
+
                 for i, r in enumerate(reqs):
-                    gloss = (
-                        self.gloss_names[ids[i]]
-                        if self.gloss_names
-                        else int(ids[i])
-                    )
+                    gloss = gloss_label(ids[i], self.gloss_names)
                     self.stats.total_latency_s += now - r.t_submit
                     r.future.set_result((gloss, logits[i]))
                 self.stats.requests += len(reqs)

@@ -7,10 +7,11 @@ Endpoints:
                                  batcher fuses concurrent requests into one
                                  TPU program. → ``{"gloss", "top5"}``
   - ``POST /predict_landmarks``  body = ``.npy`` bytes of [T, 543, 3]
-                                 landmarks (pose/fusion models; for fusion
-                                 send multipart-free: video bytes via
-                                 ``X-ASLTPU-Landmarks-B64`` header is NOT
-                                 supported — use the library API).
+                                 landmarks (pose models).
+  - ``POST /predict_fusion``     two-part body for the two_stream model:
+                                 8-byte big-endian length of the video part,
+                                 the video container bytes, then ``.npy``
+                                 landmark bytes ([T, 543, 3]). → same JSON.
   - ``GET /healthz``             liveness + model name
   - ``GET /stats``               batching/latency counters
 
@@ -104,6 +105,8 @@ def make_handler(server_state):
                     self._predict_video()
                 elif self.path == "/predict_landmarks":
                     self._predict_landmarks()
+                elif self.path == "/predict_fusion":
+                    self._predict_fusion()
                 else:
                     self._drain_body()
                     self._json(404, {"error": f"unknown path {self.path}"})
@@ -111,6 +114,29 @@ def make_handler(server_state):
                 self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — serve errors as 500s
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _decode_video_bytes(self, data: bytes) -> np.ndarray:
+            # cv2 needs a real file for container probing.
+            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+                f.write(data)
+                tmp = f.name
+            try:
+                return decode_clip(tmp, server_state.model.cfg.preprocess)
+            finally:
+                os.unlink(tmp)
+
+        def _parse_landmarks(self, data: bytes) -> np.ndarray:
+            model = server_state.model
+            lm = np.load(io.BytesIO(data), allow_pickle=False)
+            if lm.ndim != 3 or lm.shape[1:] != (543, 3):
+                raise ValueError(f"expected [T, 543, 3] landmarks, got "
+                                 f"{list(lm.shape)}")
+            nf = getattr(model.cfg, "num_frames", 16)
+            if lm.shape[0] != nf:
+                from asltpu.ops.preprocess import uniform_sample_indices
+
+                lm = lm[uniform_sample_indices(lm.shape[0], nf)]
+            return lm.astype(np.float32)
 
         def _predict_video(self):
             model = server_state.model
@@ -121,16 +147,8 @@ def make_handler(server_state):
             if model.takes_landmarks:
                 self._drain_body()
                 raise ValueError("fusion models need video+landmarks; use "
-                                 "the library API")
-            data = self._read_body()
-            # cv2 needs a real file for container probing.
-            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
-                f.write(data)
-                tmp = f.name
-            try:
-                frames = decode_clip(tmp, model.cfg.preprocess)
-            finally:
-                os.unlink(tmp)
+                                 "/predict_fusion")
+            frames = self._decode_video_bytes(self._read_body())
             gloss, logits = server_state.predictor.submit(frames).result(
                 timeout=server_state.timeout_s
             )
@@ -144,18 +162,38 @@ def make_handler(server_state):
             if model.takes_rgb:
                 self._drain_body()
                 raise ValueError("fusion models need video+landmarks; use "
-                                 "the library API")
-            lm = np.load(io.BytesIO(self._read_body()), allow_pickle=False)
-            if lm.ndim != 3 or lm.shape[1:] != (543, 3):
-                raise ValueError(f"expected [T, 543, 3] landmarks, got "
-                                 f"{list(lm.shape)}")
-            nf = getattr(model.cfg, "num_frames", 16)
-            if lm.shape[0] != nf:
-                from asltpu.ops.preprocess import uniform_sample_indices
-
-                lm = lm[uniform_sample_indices(lm.shape[0], nf)]
+                                 "/predict_fusion")
+            lm = self._parse_landmarks(self._read_body())
             gloss, logits = server_state.predictor.submit(
-                landmarks=lm.astype(np.float32)
+                landmarks=lm
+            ).result(timeout=server_state.timeout_s)
+            self._respond_prediction(gloss, logits)
+
+        def _predict_fusion(self):
+            """Two-stream (config #5) over HTTP: an 8-byte big-endian length
+            of the video part, the video container bytes, then ``.npy``
+            landmark bytes — the deployable surface for the fusion model."""
+            model = server_state.model
+            if not (model.takes_rgb and model.takes_landmarks):
+                self._drain_body()
+                raise ValueError(
+                    "model is not a fusion model; use /predict or "
+                    "/predict_landmarks"
+                )
+            body = self._read_body()
+            if len(body) < 9:
+                raise ValueError("fusion body too short (need 8-byte video "
+                                 "length prefix + video + .npy landmarks)")
+            vlen = int.from_bytes(body[:8], "big")
+            if vlen <= 0 or 8 + vlen >= len(body):
+                raise ValueError(
+                    f"bad video length prefix {vlen} for body of "
+                    f"{len(body)} bytes"
+                )
+            frames = self._decode_video_bytes(body[8 : 8 + vlen])
+            lm = self._parse_landmarks(body[8 + vlen :])
+            gloss, logits = server_state.predictor.submit(
+                frames, landmarks=lm
             ).result(timeout=server_state.timeout_s)
             self._respond_prediction(gloss, logits)
 
@@ -181,7 +219,7 @@ class ServeState:
 
 def serve(
     model: Model,
-    host: str = "0.0.0.0",
+    host: str = "127.0.0.1",
     port: int = 8476,
     max_batch: int = 32,
     max_delay_ms: float = 10.0,

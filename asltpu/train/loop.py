@@ -94,6 +94,18 @@ def make_train_step(
     """
     tx = make_optimizer(train_cfg)
 
+    if (
+        pp_cfg is not None
+        and pp_cfg.staging_format == "yuv420"
+        and augment is not None
+        and getattr(augment, "enabled", False)
+    ):
+        raise ValueError(
+            "yuv420 staging is an inference/serving wire optimization; "
+            "train-time augmentation needs RGB staged frames (and spatial "
+            "slack) — use staging_format='rgb' for training with augment"
+        )
+
     def step_fn(state: TrainState, batch_in, labels):
         rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
         if pp_cfg is None:
@@ -192,6 +204,7 @@ def train(
     metric_writer: Optional[Callable[[int, Dict[str, float]], None]] = None,
     augment=None,
     eval_batches: Optional[Callable[[], Iterable[Tuple[Any, Any]]]] = None,
+    resumable_iter=None,
 ) -> TrainState:
     """Run the training loop over an iterable of (batch_in, labels).
 
@@ -199,6 +212,11 @@ def train(
     metrics, fault injection for resume testing, and — when
     ``eval_batches`` (a zero-arg callable yielding (batch_in, labels)) is
     given — periodic validation every ``train_cfg.eval_every`` steps.
+
+    ``resumable_iter``: the :class:`asltpu.data.loader.ResumableIterator`
+    underlying ``batches`` (when the grain loader feeds training) — its
+    position is checkpointed with the train state so a resumed run continues
+    the data stream instead of restarting it.
     """
     from asltpu import ckpt as _ckpt
 
@@ -230,26 +248,41 @@ def train(
 
     start = int(state.step)
     t0 = time.perf_counter()
-    for i, (batch_in, labels) in enumerate(batches):
-        step = start + i
-        if step >= train_cfg.num_steps:
-            break
-        if step == train_cfg.fault_inject_step:
-            raise FaultInjected(f"injected fault at step {step}")
-        state, metrics = step_fn(state, batch_in, labels)
-        if (step + 1) % train_cfg.log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t0
-            m["steps_per_sec"] = train_cfg.log_every / dt
-            t0 = time.perf_counter()
-            if metric_writer:
-                metric_writer(step + 1, m)
-        if eval_fn is not None and (step + 1) % train_cfg.eval_every == 0:
-            run_eval(state, step + 1)
-        if (step + 1) % train_cfg.ckpt_every == 0:
-            _ckpt.save_train_state(
-                train_cfg.ckpt_dir, state, keep=train_cfg.ckpt_keep
-            )
+    try:
+        for i, (batch_in, labels) in enumerate(batches):
+            step = start + i
+            if step >= train_cfg.num_steps:
+                break
+            if step == train_cfg.fault_inject_step:
+                raise FaultInjected(f"injected fault at step {step}")
+            state, metrics = step_fn(state, batch_in, labels)
+            if (step + 1) % train_cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                m["steps_per_sec"] = train_cfg.log_every / dt
+                t0 = time.perf_counter()
+                if metric_writer:
+                    metric_writer(step + 1, m)
+            if eval_fn is not None and (step + 1) % train_cfg.eval_every == 0:
+                run_eval(state, step + 1)
+            if (step + 1) % train_cfg.ckpt_every == 0:
+                _ckpt.save_train_state(
+                    train_cfg.ckpt_dir, state, keep=train_cfg.ckpt_keep
+                )
+                if resumable_iter is not None:
+                    # i+1 batches consumed since this train() call began.
+                    data_state = resumable_iter.state_for(i + 1)
+                    if data_state is not None:
+                        _ckpt.save_data_state(
+                            train_cfg.ckpt_dir, step + 1, data_state
+                        )
+    finally:
+        # An early exit (num_steps reached, fault injection, any step error)
+        # must stop the Prefetcher's transfer thread or it stays blocked in
+        # q.put pinning host+device batch buffers for the process lifetime.
+        close = getattr(batches, "close", None)
+        if callable(close):
+            close()
     if eval_fn is not None:
         run_eval(state, int(state.step))
     return state

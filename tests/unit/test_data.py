@@ -216,3 +216,65 @@ def test_stream_predict_skip_errors(tmp_path, tiny_wlasl):
         model, [good[0], bad, good[1]], batch_size=2, skip_errors=True,
     ))
     assert [p for p, _, _ in results] == [good[0], good[1]]
+
+
+def test_prefetcher_sentinel_reaches_slow_consumer():
+    """The end-sentinel must arrive even when the queue was full while the
+    worker finished (regression: a dropped sentinel hangs the consumer)."""
+    import time
+
+    from asltpu.data.prefetch import Prefetcher
+
+    def gen():
+        for i in range(4):
+            yield np.full((2, 2), i, np.float32)
+
+    pf = Prefetcher(gen(), depth=2)
+    time.sleep(0.3)  # let the worker fill the queue and try to finish
+    got = list(pf)
+    assert len(got) == 4
+
+
+def test_prefetcher_close_unblocks_worker():
+    """close() must stop a worker blocked in q.put and join the thread."""
+    from asltpu.data.prefetch import Prefetcher
+
+    def gen():
+        i = 0
+        while True:  # endless producer
+            yield np.full((2, 2), i, np.float32)
+            i += 1
+
+    pf = Prefetcher(gen(), depth=2)
+    it = iter(pf)
+    next(it)  # consume one, then abandon
+    pf.close()
+    assert not pf._thread.is_alive()
+    pf.close()  # idempotent
+
+
+def test_packed_device_put_roundtrip():
+    """packed_device_put must reproduce the tree exactly (values, shapes,
+    dtypes, including scalars and mixed dtypes)."""
+    import jax
+
+    from asltpu.api import packed_device_put
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": rng.normal(size=(3, 4)).astype(np.float32),
+        "b": {"c": rng.normal(size=(2, 2, 2)).astype(np.float32),
+              "d": np.int32(7),
+              "e": rng.integers(0, 9, (5,)).astype(np.int32)},
+        "f": [rng.normal(size=(1,)).astype(np.float32),
+              np.float32(3.5), rng.normal(size=(8,)).astype(np.float32)],
+    }
+    out = packed_device_put(tree)
+    flat_in, td_in = jax.tree.flatten(tree)
+    flat_out, td_out = jax.tree.flatten(out)
+    assert td_in == td_out
+    for a, b in zip(flat_in, flat_out):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)

@@ -219,3 +219,57 @@ def test_pose_bilstm_parity(tmp_path):
         want = twin(torch.from_numpy(normed)).numpy()
     got = np.asarray(model.module.apply(model.variables, lm, False))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_split_predict_matches_fused():
+    """The two-program inference chain (Model.split_predict_fn) must be
+    numerically identical to the single fused XLA program — same modules,
+    same params, only the program boundary differs."""
+    import numpy as np
+
+    from asltpu import api
+
+    for name, overrides in [
+        ("mobilenet_gru", dict(num_classes=5, gru_hidden=16)),
+        ("resnet_transformer", dict(num_classes=5, d_model=32, num_heads=4,
+                                    num_tx_layers=1)),
+    ]:
+        model = api.load_model(
+            name,
+            preprocess={"num_frames": 3, "staging_size": (48, 48),
+                        "resize_short": 40, "crop": 32},
+            **overrides,
+        )
+        rng = np.random.default_rng(0)
+        frames = rng.integers(
+            0, 256,
+            (2, model.cfg.preprocess.num_frames, 48, 48, 3), np.uint8,
+        )
+        fused = np.asarray(model.predict_fn()(model.variables, frames))
+        split = np.asarray(model.split_predict_fn()(model.variables, frames))
+        np.testing.assert_allclose(fused, split, atol=1e-5), name
+
+
+def test_init_spatial_reduction_shape_invariant():
+    """init_variables uses a 32² spatial dummy (fast eager CPU init); the
+    parameter tree must be shape-identical to a full-resolution init for
+    every config."""
+    import functools
+
+    import jax
+
+    from asltpu.api import _dummy_inputs, build_module
+    from asltpu.config import CONFIG_REGISTRY, get_config
+
+    for name in CONFIG_REGISTRY:
+        cfg = get_config(name)
+        m = build_module(cfg)
+        rng = jax.random.PRNGKey(0)
+        full = jax.eval_shape(functools.partial(m.init, rng), *_dummy_inputs(cfg))
+        small = jax.eval_shape(
+            functools.partial(m.init, rng),
+            *_dummy_inputs(cfg, init_spatial=32),
+        )
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: a.shape == b.shape and a.dtype == b.dtype, full, small
+        )), name

@@ -176,7 +176,11 @@ class TorchI3D(tnn.Module):
                 x = self._pool(x, (3, 3, 3), (2, 2, 2))
             elif name == "Mixed_4f":
                 x = F.max_pool3d(x, (2, 2, 2), (2, 2, 2))
-        x = x.mean(dim=(3, 4)).transpose(1, 2)  # [B, T', 1024]
+        # pytorch-i3d head: AvgPool3d((2, 7, 7), stride 1) → logits conv →
+        # temporal mean (spatial kernel generalized to the full extent).
+        kt = 2 if x.shape[2] > 1 else 1
+        x = F.avg_pool3d(x, (kt, x.shape[3], x.shape[4]), stride=(1, 1, 1))
+        x = x.squeeze(4).squeeze(3).transpose(1, 2)  # [B, T'-1, 1024]
         return self.logits(x).mean(dim=1)
 
 

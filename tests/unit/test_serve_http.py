@@ -126,3 +126,50 @@ def test_http_concurrent_clients_batch(http_server, tmp_path):
     new_batches = after["batches"] - before["batches"]
     assert new_requests == 6
     assert new_batches < 6  # at least one multi-request batch formed
+
+
+def test_fusion_endpoint(tmp_path):
+    """Config #5 over HTTP: two-part body (8-byte BE video length + video
+    bytes + .npy landmarks) → fusion prediction."""
+    model = api.load_model(
+        "two_stream", num_classes=6, d_model=32, num_frames=4,
+        preprocess={"num_frames": 4, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
+    )
+    httpd, predictor = serve(
+        model, host="127.0.0.1", port=0, max_batch=2, max_delay_ms=5,
+        gloss_names=[f"g{i}" for i in range(6)], block=False,
+    )
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        path = str(tmp_path / "f.mp4")
+        write_video(path, num_frames=10, size=(96, 96), seed=5)
+        video = open(path, "rb").read()
+        lm = synthetic_landmarks(1, 12, seed=2)[0]
+        buf = io.BytesIO()
+        np.save(buf, lm)
+        body = len(video).to_bytes(8, "big") + video + buf.getvalue()
+        code, resp = _post(base + "/predict_fusion", body)
+        assert code == 200
+        assert resp["gloss"].startswith("g")
+        assert len(resp["top5"]) == 5
+        # Must match the library path (same video + landmarks).
+        clip = api.load_clip(path, model.cfg.preprocess)
+        from asltpu.ops.preprocess import uniform_sample_indices
+
+        lm4 = lm[uniform_sample_indices(lm.shape[0], 4)].astype(np.float32)
+        gloss, _ = api.predict(model, clip, landmarks=lm4,
+                               gloss_names=[f"g{i}" for i in range(6)])
+        assert resp["gloss"] == gloss
+        # Plain /predict on a fusion model → 400 pointing at /predict_fusion
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/predict", video)
+        assert e.value.code == 400
+        # Bad length prefix → 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/predict_fusion",
+                  (10 ** 12).to_bytes(8, "big") + b"xx")
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+        predictor.shutdown()
