@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -279,36 +280,98 @@ def packed_device_put(tree: Any, device=None) -> Any:
     return jax.tree.unflatten(treedef, out)
 
 
-def init_variables(module, cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
-    """Initialize model variables ON THE HOST CPU and serially upload them.
+_INIT_CACHE_DIR = os.path.expanduser("~/.cache/asltpu/init")
 
-    Rationale (measured, round 2): jitting ``module.init`` on the TPU sends
-    the full-model init program through the remote compile service (~200 s
-    for the north-star model) and its execution degrades the relay link
-    ~50× for the rest of the process. Eager CPU init takes seconds, the
-    ~20 MB of parameters upload in ~1 s, and the link stays at full rate.
-    On a direct-PCIe host either path works; this one is never worse.
+
+def _init_cache_key(cfg: ModelConfig, seed: int) -> str:
+    import hashlib
+
+    return hashlib.sha1(f"{cfg!r}|{seed}".encode()).hexdigest()[:16]
+
+
+def _flatten_state(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_state(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_state(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def init_variables(module, cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
+    """Initialize model variables off the accelerator and upload them packed.
+
+    Rationale (measured, round 2): jitting ``module.init`` through this
+    host's TPU stack sends a full-model program through the shared remote
+    compile service — ~90-300 s depending on service load — and its
+    execution degrades the relay link ~50× for the rest of the process
+    (README "known environment limits"). Instead the init runs in a CLEAN
+    SUBPROCESS pinned to the pure-CPU platform (compiles locally, immune to
+    relay/service state), its parameters are cached on disk keyed by
+    (config, seed), and the ~20 MB uploads as one packed buffer. A cache
+    hit makes ``load_model`` seconds instead of minutes. On a direct-PCIe
+    host the on-device init also works; this path is never worse.
 
     The init dummy uses a REDUCED spatial size: conv/backbone parameter
-    shapes are spatial-size-independent (only channel/temporal dims
-    matter — the GRU sees pooled 1280-d features, the transformer's
-    positional table depends on T), so a 32² eager CPU trace replaces a
-    224² one (~7× faster init on a 1-core host).
+    shapes are spatial-size-independent (verified for every config in
+    tests/unit/test_parity.py::test_init_spatial_reduction_shape_invariant).
     """
-    rng = jax.random.PRNGKey(seed)
-    dummy = _dummy_inputs(cfg, init_spatial=32)
-    cpus = jax.devices("cpu")
     default = jax.devices()[0]
-    if cpus and default.platform != "cpu":
-        with jax.default_device(cpus[0]):
-            # One jitted CPU program (compiles locally, ~2× faster than
-            # eager op-by-op dispatch on a 1-core host).
-            variables = jax.jit(functools.partial(module.init, rng))(
-                *jax.device_put(dummy, cpus[0])
-            )
-            jax.block_until_ready(variables)
-        return packed_device_put(variables, default)
-    return jax.jit(functools.partial(module.init, rng))(*dummy)
+    if default.platform == "cpu":
+        rng = jax.random.PRNGKey(seed)
+        return jax.jit(functools.partial(module.init, rng))(
+            *_dummy_inputs(cfg, init_spatial=32)
+        )
+
+    os.makedirs(_INIT_CACHE_DIR, exist_ok=True)
+    cache = os.path.join(
+        _INIT_CACHE_DIR, f"{type(cfg).__name__}-{_init_cache_key(cfg, seed)}.npz"
+    )
+    if not os.path.exists(cache):
+        import pickle
+        import subprocess
+        import sys as _sys
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+            pickle.dump((cfg, seed), f)
+            cfg_path = f.name
+        helper = (
+            "import pickle, sys, functools\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import numpy as np\n"
+            "sys.path.insert(0, %r)\n"
+            "from asltpu.api import build_module, _dummy_inputs, _flatten_state\n"
+            "cfg, seed = pickle.load(open(%r, 'rb'))\n"
+            "m = build_module(cfg)\n"
+            "v = jax.jit(functools.partial(m.init, jax.random.PRNGKey(seed)))("
+            "*_dummy_inputs(cfg, init_spatial=32))\n"
+            "np.savez(%r, **_flatten_state(jax.device_get(v)))\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             cfg_path, cache + ".tmp.npz")
+        try:
+            subprocess.run([_sys.executable, "-c", helper], check=True,
+                           timeout=900)
+            os.replace(cache + ".tmp.npz", cache)
+        finally:
+            os.unlink(cfg_path)
+    with np.load(cache) as z:
+        variables = _unflatten_state({k: z[k] for k in z.files})
+    return packed_device_put(variables, default)
 
 
 def load_model(

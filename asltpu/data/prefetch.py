@@ -2,12 +2,22 @@
 "double-buffered host→device prefetch so video decode overlaps backbone
 compute".
 
-Mechanism: a bounded queue of host batches feeds a transfer thread that
-issues ``jax.device_put`` ahead of consumption; because JAX transfers are
-async (the returned Array is a future), keeping ``depth`` batches in flight
-overlaps (a) host decode, (b) PCIe transfer, and (c) TPU compute of the
-previous batch. With a sharding, ``device_put`` scatters the batch across
-the data-parallel mesh.
+Mechanism: a background thread drains the host iterator (keeping decode
+ahead of the device), and the consumer thread performs a SERIAL blocking
+``jax.device_put`` followed by its execute. Two measured properties of this
+host's relay-mediated TPU link shape that default (round 2, README "known
+environment limits"):
+
+  - concurrent/async host→device copies thrash the DMA path (~0.14 GB/s
+    vs ~1.5 GB/s serial), and
+  - a transfer overlapping an in-flight EXECUTE can wedge the relay
+    entirely (RPCs stall for minutes) — so transfer and compute must not
+    be issued concurrently from different threads.
+
+Decode↔device overlap (the double-buffering contract) is preserved: the
+decode pool's threads keep working while the consumer blocks on device
+RPCs. On a direct-PCIe host the classic transfer-in-worker overlap can be
+re-enabled with ``transfer_in_worker=True``.
 """
 
 from __future__ import annotations
@@ -20,14 +30,18 @@ import jax
 
 
 class Prefetcher:
-    """Wrap a host-batch iterator with a double-buffered device pipeline.
+    """Wrap a host-batch iterator with a bounded decode-ahead queue.
 
     Args:
       host_iter: yields host-side batches (numpy arrays / pytrees).
-      depth: number of device batches kept in flight (2 = double buffering).
+      depth: number of batches kept ahead (2 = double buffering).
       sharding: optional ``jax.sharding.Sharding`` for multi-device layouts.
-      deterministic: run transfers inline on the consumer thread (no
-        background thread) — the debug mode called for in SURVEY.md §5.2.
+      deterministic: no background thread at all (SURVEY.md §5.2 debug mode).
+      transfer_in_worker: issue ``device_put`` on the background thread so
+        the copy overlaps the consumer's compute — the classic pipeline for
+        direct-attached accelerators. Default False: on this host the
+        overlap of a transfer with an in-flight execute wedges the relay
+        (see module docstring), so the consumer thread transfers serially.
     """
 
     _SENTINEL = object()
@@ -38,11 +52,13 @@ class Prefetcher:
         depth: int = 2,
         sharding: Optional[jax.sharding.Sharding] = None,
         deterministic: bool = False,
+        transfer_in_worker: bool = False,
     ):
         self._host_iter = iter(host_iter)
         self._depth = max(1, depth)
         self._sharding = sharding
         self._deterministic = deterministic
+        self._transfer_in_worker = transfer_in_worker
         self._err: Optional[BaseException] = None
         self._stop = threading.Event()
         if not deterministic:
@@ -52,28 +68,31 @@ class Prefetcher:
             )
             self._thread.start()
 
-    def _put_device(self, batch):
+    def _put_device(self, batch, blocking: bool = True):
         if self._sharding is not None:
-            return jax.tree.map(
+            dev = jax.tree.map(
                 lambda x: jax.device_put(x, self._sharding), batch
             )
-        return jax.tree.map(jax.device_put, batch)
+        else:
+            dev = jax.tree.map(jax.device_put, batch)
+        if blocking:
+            # Strictly-serial blocking copies: measured fastest AND the only
+            # mode that leaves the relay link healthy (module docstring).
+            jax.block_until_ready(dev)
+        return dev
 
     def _worker(self):
         try:
             for batch in self._host_iter:
                 if self._stop.is_set():
                     break
-                dev = self._put_device(batch)
-                # Block on THIS thread until the copy lands: measured on the
-                # v5e host, overlapping/async host→device copies thrash the
-                # DMA path to ~0.14 GB/s while strictly-serial blocking
-                # copies sustain ~1.2 GB/s. Serializing here still overlaps
-                # transfer with the consumer's compute.
-                jax.block_until_ready(dev)
+                item = (
+                    self._put_device(batch) if self._transfer_in_worker
+                    else batch
+                )
                 while not self._stop.is_set():
                     try:
-                        self._q.put(dev, timeout=0.1)
+                        self._q.put(item, timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -93,7 +112,7 @@ class Prefetcher:
                         break
 
     def close(self):
-        """Stop the transfer thread and release in-flight device batches.
+        """Stop the background thread and release in-flight batches.
 
         Safe to call more than once; a consumer that exits its loop early
         (break, exception) should call this — ``__iter__`` cannot know the
@@ -128,7 +147,10 @@ class Prefetcher:
                 if self._err is not None:
                     raise self._err
                 return
-            yield item
+            if self._transfer_in_worker:
+                yield item  # already a device batch
+            else:
+                yield self._put_device(item)
 
 
 def prefetch_map(
@@ -137,7 +159,7 @@ def prefetch_map(
     depth: int = 2,
     sharding: Optional[jax.sharding.Sharding] = None,
 ) -> Iterator[Any]:
-    """Apply a (jitted) device fn over a prefetched stream; dispatch of batch
-    i+1 overlaps compute of batch i (JAX async dispatch)."""
+    """Apply a (jitted) device fn over a prefetched stream; decode of batch
+    i+1 overlaps device work of batch i."""
     for batch in Prefetcher(host_iter, depth=depth, sharding=sharding):
         yield fn(batch)
