@@ -478,6 +478,7 @@ def stream_predict(
     paths: Sequence[str],
     batch_size: int = 8,
     num_decode_workers: int = 4,
+    decode_processes: bool = True,
     landmarks_for: Optional[Any] = None,
     gloss_names: Optional[Sequence[str]] = None,
     prefetch_depth: int = 2,
@@ -561,7 +562,11 @@ def stream_predict(
                     yield out_of[int(k)], gloss_label(ids[j], gloss_names), logits[j]
         return
 
-    pool = DecodePool(pp, num_workers=num_decode_workers)
+    # Process decode workers by default: thread workers lose ~3× throughput
+    # to GIL contention with batch assembly and device-RPC bookkeeping
+    # (measured round 2; see data/decode.py).
+    pool = DecodePool(pp, num_workers=num_decode_workers,
+                      use_processes=decode_processes)
 
     def host_batches():
         for frames, kept in pool.map_batches(items, batch_size, on_error):

@@ -86,9 +86,12 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--clips", type=int, default=256, help="e2e corpus size")
     ap.add_argument("--device-iters", type=int, default=20)
-    # 4 decode threads measure ~3× the throughput of 2 even on this 1-core
-    # host (ffmpeg work has substantial IO/syscall wait to hide).
+    # 4 decode workers; PROCESS workers decode ~3× faster than threads here
+    # (the GIL serializes staging work against batch assembly / RPC
+    # bookkeeping on the main thread).
     ap.add_argument("--decode-workers", type=int, default=4)
+    ap.add_argument("--decode-threads", action="store_true",
+                    help="use thread decode workers instead of processes")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--staging-format", choices=["rgb", "yuv420"],
                     default="yuv420",
@@ -97,9 +100,11 @@ def main() -> int:
                     help="measure the single fused XLA program instead of "
                          "the split two-program chain (the fused compile "
                          "degrades this host's relay link ~50x — see README)")
-    ap.add_argument("--realistic-corpus", action="store_true",
-                    help="also measure decode-only on a 640×480 corpus "
-                         "(real WLASL sources are ≥480p)")
+    ap.add_argument("--no-realistic-corpus", action="store_true",
+                    help="skip the 640×480 decode-only measurement "
+                         "(real WLASL sources are ≥480p; measured by "
+                         "default so the 256² headline can't hide decode "
+                         "cost)")
     ap.add_argument(
         "--all-configs", action="store_true",
         help="also measure device-path throughput of every model config",
@@ -175,7 +180,8 @@ def main() -> int:
     # throughput on this shared VM varies ~3× run-to-run, so the e2e runs
     # TWICE over distinct fresh corpora; the best pass is the headline
     # (both are reported).
-    pool = DecodePool(pp, num_workers=args.decode_workers)
+    pool = DecodePool(pp, num_workers=args.decode_workers,
+                      use_processes=not args.decode_threads)
 
     def e2e_pass(clip_paths) -> float:
         t0 = time.perf_counter()
@@ -236,18 +242,19 @@ def main() -> int:
     pool.shutdown()
 
     decode_480_cps = None
-    if args.realistic_corpus:
-        # Real WLASL sources are ≥480p — measure decode on 640×480 too.
+    if not args.no_realistic_corpus:
+        # Real WLASL sources are ≥480p — measure first-pass decode on
+        # 640×480 files too.
         paths480 = []
-        for i in range(16):
+        for i in range(32):
             p = os.path.join(tmp, f"clip480_{i:02d}.mp4")
             write_video(p, num_frames=50, size=(480, 640), seed=100 + i)
             paths480.append(p)
-        pool480 = DecodePool(pp, num_workers=args.decode_workers)
-        corpus480 = [paths480[i % len(paths480)] for i in range(64)]
+        pool480 = DecodePool(pp, num_workers=args.decode_workers,
+                             use_processes=not args.decode_threads)
         t0 = time.perf_counter()
         n_dec = 0
-        for batch, kept in pool480.map_batches(corpus480, args.batch):
+        for batch, kept in pool480.map_batches(paths480, args.batch):
             n_dec += len(kept)
         decode_480_cps = n_dec / (time.perf_counter() - t0)
         pool480.shutdown()

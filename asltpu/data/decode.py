@@ -211,24 +211,44 @@ def decode_record(rec, cfg: PreprocessConfig) -> np.ndarray:
     )
 
 
+def _limit_cv2_threads():
+    if cv2 is not None:
+        cv2.setNumThreads(0)
+
+
 class DecodePool:
-    """Thread pool decoding clips concurrently (cv2 releases the GIL inside
-    codec work). Feeds the Prefetcher for batched/streaming inference."""
+    """Worker pool decoding clips concurrently. Feeds the Prefetcher for
+    batched/streaming inference.
+
+    ``use_processes=True`` decodes in WORKER PROCESSES instead of threads:
+    threads lose throughput whenever the consumer thread holds the GIL
+    (batch assembly, relay RPC bookkeeping) — measured round 2, in-pipeline
+    thread decode ran at ~0.4× its standalone rate. Processes keep decoding
+    through those phases; the ~1-2 MB staged array per clip crosses back
+    via pickle, a small cost against a 30-50 ms decode."""
 
     def __init__(
         self,
         cfg: PreprocessConfig,
         num_workers: int = 4,
         limit_cv2_threads: bool = True,
+        use_processes: bool = False,
     ):
         self.cfg = cfg
         if limit_cv2_threads and cv2 is not None:
-            # One decode thread per pool worker; OpenCV's own intra-op
+            # One decode worker per pool slot; OpenCV's own intra-op
             # threading just adds oversubscription on small hosts.
             cv2.setNumThreads(0)
-        self._pool = ThreadPoolExecutor(
-            max_workers=num_workers, thread_name_prefix="asltpu-decode"
-        )
+        if use_processes:
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._pool = ProcessPoolExecutor(
+                max_workers=num_workers, initializer=_limit_cv2_threads
+            )
+        else:
+            self._pool = ThreadPoolExecutor(
+                max_workers=num_workers, thread_name_prefix="asltpu-decode"
+            )
         self._lock = threading.Lock()
 
     def submit(self, item):

@@ -278,3 +278,25 @@ def test_packed_device_put_roundtrip():
         b = np.asarray(b)
         assert a.shape == b.shape and a.dtype == b.dtype
         np.testing.assert_array_equal(a, b)
+
+
+def test_decode_pool_processes_match_threads(tiny_wlasl):
+    """Process decode workers must produce byte-identical staged frames to
+    thread workers (same decode path, different executor)."""
+    from asltpu.config import PreprocessConfig
+    from asltpu.data.decode import DecodePool
+    from asltpu.data.wlasl import WLASLIndex
+
+    index, videos = tiny_wlasl
+    records = WLASLIndex(index, videos, subset=6).split("train")[:4]
+    pp = PreprocessConfig(num_frames=4, staging_size=(64, 64))
+    tp = DecodePool(pp, num_workers=2)
+    pq = DecodePool(pp, num_workers=2, use_processes=True)
+    try:
+        (a, kept_a), = list(tp.map_batches(records, 4))
+        (b, kept_b), = list(pq.map_batches(records, 4))
+        assert kept_a == kept_b
+        np.testing.assert_array_equal(a, b)
+    finally:
+        tp.shutdown()
+        pq.shutdown()
