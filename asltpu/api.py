@@ -478,7 +478,7 @@ def stream_predict(
     paths: Sequence[str],
     batch_size: int = 8,
     num_decode_workers: int = 4,
-    decode_processes: bool = True,
+    decode_backend: str = "auto",
     landmarks_for: Optional[Any] = None,
     gloss_names: Optional[Sequence[str]] = None,
     prefetch_depth: int = 2,
@@ -562,11 +562,13 @@ def stream_predict(
                     yield out_of[int(k)], gloss_label(ids[j], gloss_names), logits[j]
         return
 
-    # Process decode workers by default: thread workers lose ~3× throughput
-    # to GIL contention with batch assembly and device-RPC bookkeeping
-    # (measured round 2; see data/decode.py).
-    pool = DecodePool(pp, num_workers=num_decode_workers,
-                      use_processes=decode_processes)
+    # "auto" prefers the native C++ batch decoder (GIL released for whole
+    # batches), then process workers — thread workers lose ~3× throughput
+    # to GIL contention (measured round 2; see data/decode.py).
+    from asltpu.data.decode import make_decode_pool
+
+    pool = make_decode_pool(pp, num_workers=num_decode_workers,
+                            backend=decode_backend)
 
     def host_batches():
         for frames, kept in pool.map_batches(items, batch_size, on_error):

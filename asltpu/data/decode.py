@@ -216,6 +216,76 @@ def _limit_cv2_threads():
         cv2.setNumThreads(0)
 
 
+class NativeDecodePool:
+    """Batch decoder backed by the C++ library (asltpu/native): the whole
+    batch decodes on NATIVE threads with the GIL released for the call, and
+    the next batch decodes in the background while the consumer handles the
+    current one — the highest-throughput decode path on GIL-contended
+    hosts. Byte-identical to the Python path (tested)."""
+
+    def __init__(self, cfg: PreprocessConfig, num_workers: int = 4):
+        from asltpu import native
+
+        if not native.available():
+            raise RuntimeError(
+                f"native decode unavailable: {native.unavailable_reason()}"
+            )
+        self.cfg = cfg
+        self._n = num_workers
+        self._native = native
+        self._pipeline = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="asltpu-native-decode"
+        )
+
+    def _decode(self, items):
+        cfg = self.cfg
+        return self._native.decode_batch_native(
+            items, cfg.num_frames, cfg.staging_size, cfg.host_resize_short,
+            yuv420=cfg.staging_format == "yuv420", n_threads=self._n,
+        )
+
+    def map_batches(self, paths: Sequence, batch_size: int,
+                    on_error: str = "raise"):
+        """Same contract as DecodePool.map_batches: yields
+        (frames [B, ...] u8, kept_indices); short/failed batches are padded
+        by repeating the last good clip."""
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be raise|skip, got {on_error}")
+        chunks = [
+            (i, paths[i : i + batch_size])
+            for i in range(0, len(paths), batch_size)
+        ]
+        # One batch of native decode in flight ahead of the consumer.
+        fut = self._pipeline.submit(self._decode, chunks[0][1]) if chunks else None
+        for ci, (base, items) in enumerate(chunks):
+            frames, ok = fut.result()
+            if ci + 1 < len(chunks):
+                fut = self._pipeline.submit(self._decode, chunks[ci + 1][1])
+            kept = [base + j for j in range(len(items)) if ok[j] == 0]
+            if len(kept) < len(items):
+                bad = [p for j, p in enumerate(items) if ok[j] != 0]
+                if on_error == "raise":
+                    raise IOError(f"cannot decode clip(s): {bad}")
+                from asltpu.utils.logging import get_logger
+
+                get_logger("asltpu.decode").warning(
+                    "skipping undecodable clip(s): %s", bad
+                )
+                if not kept:
+                    continue
+                good_rows = [j for j in range(len(items)) if ok[j] == 0]
+                frames = frames[good_rows]
+            if frames.shape[0] < batch_size:
+                pad = batch_size - frames.shape[0]
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], pad, axis=0)]
+                )
+            yield frames, kept
+
+    def shutdown(self):
+        self._pipeline.shutdown(wait=False, cancel_futures=True)
+
+
 class DecodePool:
     """Worker pool decoding clips concurrently. Feeds the Prefetcher for
     batched/streaming inference.
@@ -315,3 +385,25 @@ class DecodePool:
 
     def shutdown(self):
         self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def make_decode_pool(
+    cfg: PreprocessConfig, num_workers: int = 4, backend: str = "auto"
+):
+    """Decode-pool factory. ``backend``: "native" (C++ batch decoder, GIL
+    released), "process", "thread", or "auto" — native when the library is
+    buildable, else process workers (3× thread throughput under GIL
+    contention), else threads."""
+    if backend in ("auto", "native"):
+        try:
+            return NativeDecodePool(cfg, num_workers=num_workers)
+        except Exception:
+            if backend == "native":
+                raise
+    if backend in ("auto", "process"):
+        try:
+            return DecodePool(cfg, num_workers=num_workers, use_processes=True)
+        except Exception:
+            if backend == "process":
+                raise
+    return DecodePool(cfg, num_workers=num_workers)

@@ -1,0 +1,153 @@
+"""ctypes binding for the native decode library (C1's native component).
+
+The C++ side (decode.cpp) mirrors asltpu/data/decode.py byte-for-byte and
+decodes whole batches on native threads with the GIL released for the full
+call — Python-side decode loses ~3× throughput to GIL contention with batch
+assembly and device-RPC bookkeeping (measured round 2).
+
+``pybind11`` is not available in this environment; the library exposes a
+plain C ABI and is loaded with ctypes (task-brief-sanctioned binding path).
+The .so is built on demand by build.sh (g++ + the system OpenCV 4 SDK);
+``available()`` reports whether the native path can be used so callers can
+fall back to the Python pool.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libasltpu_decode.so")
+_INT_MIN = -(2 ** 31)
+
+_lib = None
+_lib_err: Optional[str] = None
+_lock = threading.Lock()
+
+
+def _load():
+    global _lib, _lib_err
+    with _lock:
+        if _lib is not None or _lib_err is not None:
+            return _lib
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(
+                    ["sh", os.path.join(_DIR, "build.sh")],
+                    check=True, capture_output=True, timeout=300,
+                )
+            except Exception as e:  # compiler/SDK missing → Python fallback
+                _lib_err = f"native build failed: {e}"
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            _lib_err = f"native load failed: {e}"
+            return None
+        lib.asltpu_decode_clip.restype = ctypes.c_int
+        lib.asltpu_decode_batch.restype = ctypes.c_int
+        lib.asltpu_native_abi_version.restype = ctypes.c_int
+        if lib.asltpu_native_abi_version() != 1:
+            _lib_err = "native ABI version mismatch"
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def unavailable_reason() -> Optional[str]:
+    _load()
+    return _lib_err
+
+
+def _frame_shape(hs: int, ws: int, yuv420: bool) -> Tuple[int, ...]:
+    return (hs * 3 // 2, ws) if yuv420 else (hs, ws, 3)
+
+
+def decode_clip_native(
+    path: str,
+    num_frames: int,
+    staging_size: Tuple[int, int],
+    host_resize_short: int = 0,
+    frame_start: int = 1,
+    frame_end: int = -1,
+    bbox=None,
+    yuv420: bool = False,
+) -> np.ndarray:
+    """Native single-clip decode; raises IOError like the Python path."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(_lib_err or "native decode unavailable")
+    hs, ws = staging_size
+    out = np.empty((num_frames, *_frame_shape(hs, ws, yuv420)), np.uint8)
+    bb = (ctypes.c_int * 4)(*[int(v) for v in bbox]) if bbox else None
+    rc = lib.asltpu_decode_clip(
+        path.encode(), num_frames, hs, ws, host_resize_short,
+        int(frame_start), int(frame_end), bb, int(yuv420),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc == -1:
+        raise IOError(f"cannot open video: {path}")
+    if rc != 0:
+        raise IOError(f"no decodable frames in {path}")
+    return out
+
+
+def decode_batch_native(
+    items: Sequence,
+    num_frames: int,
+    staging_size: Tuple[int, int],
+    host_resize_short: int = 0,
+    yuv420: bool = False,
+    n_threads: int = 4,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a batch on native threads (GIL released for the whole call).
+
+    ``items``: paths or ClipRecords (segment/bbox honored). Returns
+    (frames [N, ...], ok [N] int32 — 0 means decoded).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(_lib_err or "native decode unavailable")
+    n = len(items)
+    hs, ws = staging_size
+    if out is None:
+        out = np.empty((n, num_frames, *_frame_shape(hs, ws, yuv420)),
+                       np.uint8)
+    paths, fs, fe, bbs = [], [], [], []
+    for it in items:
+        if hasattr(it, "path") and hasattr(it, "frame_start"):
+            paths.append(it.path)
+            fs.append(it.frame_start)
+            fe.append(it.frame_end)
+            bbs.append(list(it.bbox) if it.bbox else [_INT_MIN, 0, 0, 0])
+        else:
+            paths.append(it)
+            fs.append(1)
+            fe.append(-1)
+            bbs.append([_INT_MIN, 0, 0, 0])
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_fs = np.asarray(fs, np.int32)
+    c_fe = np.asarray(fe, np.int32)
+    c_bb = np.asarray(bbs, np.int32)
+    ok = np.empty((n,), np.int32)
+    lib.asltpu_decode_batch(
+        c_paths, n, num_frames, hs, ws, host_resize_short,
+        c_fs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        c_fe.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        c_bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        int(yuv420), int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, ok

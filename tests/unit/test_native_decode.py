@@ -1,0 +1,79 @@
+"""Native (C++) decode vs the Python path: byte-identical staging, same
+map_batches contract (SURVEY.md C1 native component)."""
+
+import numpy as np
+import pytest
+
+from asltpu.config import PreprocessConfig
+from asltpu.data.decode import DecodePool, NativeDecodePool, make_decode_pool
+from asltpu.data.wlasl import WLASLIndex
+
+from asltpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native decode: {native.unavailable_reason()}"
+)
+
+PP_RGB = PreprocessConfig(num_frames=4, staging_size=(64, 64))
+PP_YUV = PreprocessConfig(num_frames=4, staging_size=(64, 64),
+                          host_resize_short=72, staging_format="yuv420")
+
+
+@pytest.mark.parametrize("pp", [PP_RGB, PP_YUV], ids=["rgb", "yuv420"])
+def test_native_matches_python_records(tiny_wlasl, pp):
+    """Per-record decode (segments + formats) must be byte-identical."""
+    index, videos = tiny_wlasl
+    records = WLASLIndex(index, videos, subset=6).split("train")[:4]
+    py_pool = DecodePool(pp, num_workers=2)
+    nat_pool = NativeDecodePool(pp, num_workers=2)
+    try:
+        (a, kept_a), = list(py_pool.map_batches(records, 4))
+        (b, kept_b), = list(nat_pool.map_batches(records, 4))
+        assert kept_a == kept_b
+        np.testing.assert_array_equal(a, b)
+    finally:
+        py_pool.shutdown()
+        nat_pool.shutdown()
+
+
+def test_native_segment_and_bbox(tiny_wlasl, tmp_path):
+    """Frame segments and signer bbox crops must match the Python decoder."""
+    import dataclasses
+
+    from asltpu.data.decode import decode_record
+    from asltpu.data.wlasl import ClipRecord
+
+    index, videos = tiny_wlasl
+    base = WLASLIndex(index, videos, subset=6).split("train")[0]
+    rec = dataclasses.replace(base, frame_start=3, frame_end=10,
+                              bbox=(5, 5, 60, 60))
+    py = decode_record(rec, PP_RGB)
+    nat, ok = native.decode_batch_native(
+        [rec], PP_RGB.num_frames, PP_RGB.staging_size,
+        PP_RGB.host_resize_short, yuv420=False)
+    assert ok[0] == 0
+    np.testing.assert_array_equal(py, nat[0])
+
+
+def test_native_skip_errors(tiny_wlasl, tmp_path):
+    """A missing clip raises by default; on_error='skip' drops it and pads
+    the batch (same contract as DecodePool)."""
+    index, videos = tiny_wlasl
+    records = WLASLIndex(index, videos, subset=6).split("train")[:3]
+    paths = [r.path for r in records] + [str(tmp_path / "missing.mp4")]
+    pool = NativeDecodePool(PP_RGB, num_workers=2)
+    try:
+        with pytest.raises(IOError):
+            list(pool.map_batches(paths, 4))
+        (frames, kept), = list(pool.map_batches(paths, 4, on_error="skip"))
+        assert kept == [0, 1, 2]
+        assert frames.shape[0] == 4  # padded back to batch size
+        np.testing.assert_array_equal(frames[3], frames[2])
+    finally:
+        pool.shutdown()
+
+
+def test_make_decode_pool_auto_prefers_native():
+    pool = make_decode_pool(PP_RGB)
+    assert isinstance(pool, NativeDecodePool)
+    pool.shutdown()
