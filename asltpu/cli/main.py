@@ -27,6 +27,39 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--ckpt", default=None,
                    help="orbax dir or torch .pt/.pth checkpoint")
     p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="overrides",
+                   help="config field override, repeatable — e.g. "
+                        "--set gru_hidden=256 --set preprocess.num_frames=8 "
+                        "(values parsed as Python literals, else strings)")
+
+
+def _parse_overrides(pairs):
+    """['gru_hidden=256', 'preprocess.crop=96'] → config override kwargs
+    (nested ``preprocess.`` keys become the preprocess dict)."""
+    import ast
+
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise SystemExit(f"error: --set expects KEY=VALUE, got '{pair}'")
+        key, raw = pair.split("=", 1)
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw
+        if key.startswith("preprocess."):
+            out.setdefault("preprocess", {})[key[len("preprocess."):]] = val
+        else:
+            out[key] = val
+    return out
+
+
+def _model_overrides(args):
+    overrides = _parse_overrides(args.overrides)
+    if args.num_classes:
+        overrides["num_classes"] = args.num_classes
+    return overrides
 
 
 def _load(args):
@@ -38,10 +71,8 @@ def _load(args):
             f"error: unknown model '{args.model}'; choose from "
             f"{', '.join(sorted(CONFIG_REGISTRY))}"
         )
-    overrides = {}
-    if args.num_classes:
-        overrides["num_classes"] = args.num_classes
-    return load_model(args.model, checkpoint=args.ckpt, **overrides)
+    return load_model(args.model, checkpoint=args.ckpt,
+                      **_model_overrides(args))
 
 
 def cmd_predict(args) -> int:
@@ -91,7 +122,7 @@ def cmd_train(args) -> int:
 
     from asltpu.api import build_module, _dummy_inputs
     from asltpu.config import TrainConfig, get_config
-    from asltpu.data.decode import decode_clip, decode_record
+    from asltpu.data.decode import decode_record
     from asltpu.data.wlasl import WLASLIndex, batches_from_records
     from asltpu.train.loop import train
 
@@ -103,10 +134,8 @@ def cmd_train(args) -> int:
             "(pose_bilstm) train via the library API with precomputed "
             "landmarks (see asltpu.train.loop.train)"
         )
-    overrides = {}
-    if args.num_classes:
-        overrides["num_classes"] = args.num_classes
-    pp_overrides = {}
+    overrides = _model_overrides(args)
+    pp_overrides = dict(overrides.get("preprocess", {}))
     if args.frames:
         pp_overrides["num_frames"] = args.frames
     if args.crop:
@@ -142,6 +171,13 @@ def cmd_train(args) -> int:
     if not records:
         log.error("no train clips with videos on disk")
         return 2
+    if len(records) < tcfg.batch_size:
+        # With drop_remainder batching, fewer records than one batch would
+        # make the records loader spin forever yielding nothing.
+        raise SystemExit(
+            f"error: {len(records)} train clips < batch size "
+            f"{tcfg.batch_size}; lower --batch or add data"
+        )
     pp = getattr(cfg, "preprocess", None)
 
     resumable_iter = None
@@ -171,11 +207,32 @@ def cmd_train(args) -> int:
     else:
 
         def batches():
-            for recs in batches_from_records(records, tcfg.batch_size,
-                                             seed=tcfg.seed):
-                frames = np.stack([decode_record(r, pp) for r in recs])
-                labels = np.asarray([r.label for r in recs], np.int32)
-                yield frames, labels
+            # Decode each shuffled record batch through the pooled decoder
+            # (native C++ batch decode when built — parallel, GIL-free)
+            # instead of a serial per-record loop.
+            from asltpu.data.decode import make_decode_pool
+
+            pool = make_decode_pool(pp, num_workers=4)
+            try:
+                for recs in batches_from_records(records, tcfg.batch_size,
+                                                 seed=tcfg.seed):
+                    for frames, kept in pool.map_batches(
+                        recs, tcfg.batch_size
+                    ):
+                        labels = np.asarray(
+                            [recs[k].label for k in kept], np.int32
+                        )
+                        if len(labels) < tcfg.batch_size:
+                            # padded rows repeat the last clip; mirror that
+                            # in the labels so shapes stay static
+                            labels = np.concatenate([
+                                labels,
+                                np.repeat(labels[-1:],
+                                          tcfg.batch_size - len(labels)),
+                            ])
+                        yield frames, labels
+            finally:
+                pool.shutdown()
 
     if args.debug_nans:
         from asltpu.utils.profiling import enable_nan_debugging

@@ -189,12 +189,37 @@ def _stage(
     return staged[:, :, ::-1]  # BGR → RGB
 
 
+def _native_mod():
+    """The native decode binding, or None (cached; byte-identical output —
+    tests/unit/test_native_decode.py)."""
+    global _NATIVE
+    if _NATIVE is _UNSET:
+        try:
+            from asltpu import native as _n
+
+            _NATIVE = _n if _n.available() else None
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+_UNSET = object()
+_NATIVE: object = _UNSET
+
+
 def decode_clip(
     path: str, cfg: PreprocessConfig, num_frames: Optional[int] = None
 ) -> np.ndarray:
     """Public C1 entry: video path → staged uint8 frames
     [T, Hs, Ws, 3] (or packed I420 [T, Hs·3/2, Ws]) ready for the device
-    preprocess kernel."""
+    preprocess kernel. Uses the native decoder when built (byte-identical,
+    no GIL hold); falls back to the Python path."""
+    nat = _native_mod()
+    if nat is not None:
+        return nat.decode_clip_native(
+            path, num_frames or cfg.num_frames, cfg.staging_size,
+            cfg.host_resize_short, yuv420=cfg.staging_format == "yuv420",
+        )
     return decode_sampled_frames(
         path, num_frames or cfg.num_frames, cfg.staging_size,
         cfg.host_resize_short, staging_format=cfg.staging_format,
@@ -203,7 +228,16 @@ def decode_clip(
 
 def decode_record(rec, cfg: PreprocessConfig) -> np.ndarray:
     """Decode a WLASL :class:`~asltpu.data.wlasl.ClipRecord`, honoring its
-    frame segment and signer bbox (the reference-family pipeline behavior)."""
+    frame segment and signer bbox (the reference-family pipeline behavior).
+    Native-backed when built, Python fallback otherwise."""
+    nat = _native_mod()
+    if nat is not None:
+        return nat.decode_clip_native(
+            rec.path, cfg.num_frames, cfg.staging_size,
+            cfg.host_resize_short, frame_start=rec.frame_start,
+            frame_end=rec.frame_end, bbox=rec.bbox,
+            yuv420=cfg.staging_format == "yuv420",
+        )
     return decode_sampled_frames(
         rec.path, cfg.num_frames, cfg.staging_size, cfg.host_resize_short,
         frame_start=rec.frame_start, frame_end=rec.frame_end, bbox=rec.bbox,

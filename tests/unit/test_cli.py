@@ -1,0 +1,113 @@
+"""CLI entry points (C13) driven end-to-end on the virtual CPU mesh:
+landmarks prep → predict → eval → train, through ``asltpu.cli.main`` with
+real argv, synthetic WLASL fixtures, and captured stdout."""
+
+import json
+
+import numpy as np
+import pytest
+
+from asltpu.cli.main import main
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, [json.loads(line) for line in out.splitlines() if line.strip()]
+
+
+@pytest.fixture(scope="module")
+def landmark_store(tmp_path_factory, tiny_wlasl_module):
+    index, videos = tiny_wlasl_module
+    out = str(tmp_path_factory.mktemp("lm"))
+    rc = main([
+        "landmarks", "--index", index, "--videos", videos, "--out", out,
+        "--num-classes", "6", "--extractor", "synthetic",
+    ])
+    assert rc == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_wlasl_module(tmp_path_factory):
+    from asltpu.data.synthetic import make_synthetic_wlasl
+
+    root = str(tmp_path_factory.mktemp("wlasl"))
+    # 3 clips/gloss → 12 train records (≥ the batch-8 train test below;
+    # fewer than one batch makes cmd_train fail fast by design).
+    index, videos = make_synthetic_wlasl(
+        root, num_glosses=6, clips_per_gloss=3, num_frames=12, size=(64, 64),
+        splits=["train", "test"],
+    )
+    return index, videos
+
+
+def test_cli_landmarks_then_predict_pose(capsys, landmark_store,
+                                         tiny_wlasl_module):
+    index, videos = tiny_wlasl_module
+    from asltpu.data.wlasl import WLASLIndex
+
+    recs = WLASLIndex(index, videos, subset=6).split("train")[:2]
+    rc, rows = _run(capsys, [
+        "predict", recs[0].path, recs[1].path,
+        "--model", "pose_bilstm", "--num-classes", "6", "--batch", "2",
+        "--index", index, "--landmarks-dir", landmark_store,
+    ])
+    assert rc == 0
+    assert len(rows) == 2
+    for row in rows:
+        assert isinstance(row["gloss"], str)
+        assert len(row["top5"]) == 5
+
+
+def test_cli_eval_pose(capsys, landmark_store, tiny_wlasl_module):
+    index, videos = tiny_wlasl_module
+    rc, rows = _run(capsys, [
+        "eval", "--model", "pose_bilstm", "--num-classes", "6",
+        "--index", index,
+        "--videos", videos, "--split", "test", "--batch", "2",
+        "--landmarks-dir", landmark_store,
+    ])
+    assert rc == 0
+    (metrics,) = rows
+    assert {"top1", "top5", "num_clips"} <= set(metrics)
+    assert metrics["num_clips"] > 0
+
+
+def test_cli_predict_validates_inputs(tiny_wlasl_module):
+    index, _ = tiny_wlasl_module
+    with pytest.raises(SystemExit):
+        main(["predict", "/nope/missing.mp4"])
+    with pytest.raises(SystemExit):
+        main(["predict", index, "--model", "not_a_model"])
+
+
+def test_cli_train_records_loader(tmp_path, tiny_wlasl_module):
+    """Two train steps through the full CLI stack (decode pool → augment →
+    train step → checkpoint) at tiny shapes."""
+    index, videos = tiny_wlasl_module
+    rc = main([
+        "train", "--model", "mobilenet_gru", "--num-classes", "6",
+        "--set", "gru_hidden=16",  # small head: the CPU-mesh compile cost
+        "--index", index, "--videos", videos,
+        "--batch", "8", "--steps", "2", "--log-every", "1",
+        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "2",
+        "--frames", "2", "--crop", "32", "--no-augment",
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "ck" / "2"))
+
+
+def test_cli_train_fails_fast_when_underfull(tmp_path, tiny_wlasl_module):
+    """Fewer train records than one batch must error, not spin forever."""
+    index, videos = tiny_wlasl_module
+    with pytest.raises(SystemExit):
+        main([
+            "train", "--model", "mobilenet_gru", "--num-classes", "6",
+            "--index", index, "--videos", videos,
+            "--batch", "64", "--steps", "1",
+            "--ckpt-dir", str(tmp_path / "ck"),
+            "--frames", "2", "--crop", "32", "--no-augment",
+        ])

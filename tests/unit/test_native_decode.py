@@ -21,18 +21,27 @@ PP_YUV = PreprocessConfig(num_frames=4, staging_size=(64, 64),
 
 @pytest.mark.parametrize("pp", [PP_RGB, PP_YUV], ids=["rgb", "yuv420"])
 def test_native_matches_python_records(tiny_wlasl, pp):
-    """Per-record decode (segments + formats) must be byte-identical."""
+    """Per-record decode (segments + formats) must be byte-identical to the
+    PURE-PYTHON decoder (decode_sampled_frames — decode_record itself now
+    auto-dispatches to native, so the reference must bypass it)."""
+    from asltpu.data.decode import decode_sampled_frames
+
     index, videos = tiny_wlasl
     records = WLASLIndex(index, videos, subset=6).split("train")[:4]
-    py_pool = DecodePool(pp, num_workers=2)
+    py = np.stack([
+        decode_sampled_frames(
+            r.path, pp.num_frames, pp.staging_size, pp.host_resize_short,
+            frame_start=r.frame_start, frame_end=r.frame_end, bbox=r.bbox,
+            staging_format=pp.staging_format,
+        )
+        for r in records
+    ])
     nat_pool = NativeDecodePool(pp, num_workers=2)
     try:
-        (a, kept_a), = list(py_pool.map_batches(records, 4))
         (b, kept_b), = list(nat_pool.map_batches(records, 4))
-        assert kept_a == kept_b
-        np.testing.assert_array_equal(a, b)
+        assert kept_b == [0, 1, 2, 3]
+        np.testing.assert_array_equal(py, b)
     finally:
-        py_pool.shutdown()
         nat_pool.shutdown()
 
 
@@ -45,9 +54,15 @@ def test_native_segment_and_bbox(tiny_wlasl, tmp_path):
 
     index, videos = tiny_wlasl
     base = WLASLIndex(index, videos, subset=6).split("train")[0]
+    from asltpu.data.decode import decode_sampled_frames
+
     rec = dataclasses.replace(base, frame_start=3, frame_end=10,
                               bbox=(5, 5, 60, 60))
-    py = decode_record(rec, PP_RGB)
+    py = decode_sampled_frames(
+        rec.path, PP_RGB.num_frames, PP_RGB.staging_size,
+        PP_RGB.host_resize_short, frame_start=3, frame_end=10,
+        bbox=(5, 5, 60, 60), staging_format="rgb",
+    )
     nat, ok = native.decode_batch_native(
         [rec], PP_RGB.num_frames, PP_RGB.staging_size,
         PP_RGB.host_resize_short, yuv420=False)
