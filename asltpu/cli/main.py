@@ -104,6 +104,7 @@ def cmd_predict(args) -> int:
     for path, gloss, logits in api.stream_predict(
         model, args.clips, batch_size=args.batch, gloss_names=gloss_names,
         landmarks_for=landmarks_for, skip_errors=args.skip_errors,
+        decode_backend=args.decode_backend,
     ):
         print(json.dumps({
             "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
@@ -282,8 +283,14 @@ def cmd_eval(args) -> int:
         )
     # Default the gloss subset from the MODEL's contract (i3d → WLASL-2000),
     # not a fixed 100 — otherwise `asl eval --model i3d` silently scores a
-    # different benchmark than the model was built for.
-    subset = args.num_classes or CONFIG_REGISTRY[args.model]().num_classes
+    # different benchmark than the model was built for. Honor BOTH override
+    # spellings (`--num-classes` and `--set num_classes=`): the model is
+    # built from _model_overrides(args), so deriving the subset from
+    # args.num_classes alone would evaluate a --set-overridden model against
+    # the registry-default gloss subset.
+    subset = _model_overrides(args).get(
+        "num_classes", CONFIG_REGISTRY[args.model]().num_classes
+    )
     # Parse the index before the (minutes-long) model compile so bad paths
     # and empty splits fail fast.
     ds = WLASLIndex(args.index, args.videos, subset=subset)
@@ -368,6 +375,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("predict", help="predict gloss for clip(s)")
+    p.add_argument("--decode-backend", default="auto",
+                   choices=["auto", "native", "av", "process", "thread"],
+                   help="decode pool backend; 'av' = direct libavcodec "
+                        "(fastest on >=480p sources, tolerance-parity)")
     _add_model_args(p)
     p.add_argument("clips", nargs="+")
     p.add_argument("--batch", type=int, default=8)

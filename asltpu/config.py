@@ -73,8 +73,16 @@ class PreprocessConfig:
         packed I420 plane layout (Hs·3/2, Ws) for yuv420."""
         hs, ws = self.staging_size
         if self.staging_format == "yuv420":
-            if hs % 2 or ws % 2:
-                raise ValueError("yuv420 staging requires even dimensions")
+            # The packed 2D view stores each half-resolution chroma plane as
+            # hs//4 FULL-WIDTH rows (two half-width chroma rows per packed
+            # row), so the height must divide by 4 — an even-but-not-%4
+            # height would split U/V mid-row and fail with an opaque reshape
+            # error inside the jitted preprocess.
+            if hs % 4 or ws % 2:
+                raise ValueError(
+                    "yuv420 staging requires height % 4 == 0 and even width; "
+                    f"got staging_size={self.staging_size}"
+                )
             return (hs * 3 // 2, ws)
         return (hs, ws, 3)
 

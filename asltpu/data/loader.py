@@ -78,7 +78,12 @@ class ClipDataSource:
 
         h = hashlib.sha1()
         for r in self._records:
-            h.update(f"{r.path}|{r.label}|{r.frame_start}|{r.frame_end}".encode())
+            # bbox is part of the decode output — a bbox-only dataset edit
+            # must invalidate a checkpointed iterator state too.
+            h.update(
+                f"{r.path}|{r.label}|{r.frame_start}|{r.frame_end}|{r.bbox}"
+                .encode()
+            )
         h.update(repr(self._pp).encode())
         return f"ClipDataSource(n={len(self._records)}, key={h.hexdigest()[:12]})"
 

@@ -24,10 +24,18 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libasltpu_decode.so")
+_SO_AV = os.path.join(_DIR, "libasltpu_decode_av.so")
 _INT_MIN = -(2 ** 31)
+
+# Fast-mode bit flags for the libav backend (decode_av.cpp enum).
+FAST_LOWRES = 1        # DCT-domain reduced-resolution decode (mpeg4 family)
+FAST_SKIP_LOOP_FILTER = 2  # h264/hevc deblocking off (~20-30% less work)
+FAST_SKIP_NONREF = 4   # drop non-reference (B) frames when unsampled
 
 _lib = None
 _lib_err: Optional[str] = None
+_lib_av = None
+_lib_av_err: Optional[str] = None
 _lock = threading.Lock()
 
 
@@ -36,6 +44,12 @@ def _load():
     with _lock:
         if _lib is not None or _lib_err is not None:
             return _lib
+        if os.environ.get("ASLTPU_NATIVE_DISABLE"):
+            # Set by a parent process whose build already failed (or by a
+            # user forcing the Python path) — worker processes must not each
+            # re-attempt the same doomed g++ build on first decode.
+            _lib_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
+            return None
         if not os.path.exists(_SO):
             try:
                 subprocess.run(
@@ -44,6 +58,9 @@ def _load():
                 )
             except Exception as e:  # compiler/SDK missing → Python fallback
                 _lib_err = f"native build failed: {e}"
+                # Inherited by decode worker processes so they skip the
+                # (up to 300 s) build retry on their first decode call.
+                os.environ["ASLTPU_NATIVE_DISABLE"] = "1"
                 return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -60,6 +77,44 @@ def _load():
         return _lib
 
 
+def _load_av():
+    """The libav (ffmpeg-direct) decode library — the THROUGHPUT backend
+    (codec-level frame skipping, lowres, direct-YUV staging; decode_av.cpp).
+    Not byte-identical to the cv2 oracle; tolerance-tested."""
+    global _lib_av, _lib_av_err
+    with _lock:
+        if _lib_av is not None or _lib_av_err is not None:
+            return _lib_av
+        if os.environ.get("ASLTPU_NATIVE_DISABLE"):
+            _lib_av_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
+            return None
+        if not os.path.exists(_SO_AV):
+            try:
+                subprocess.run(
+                    ["sh", os.path.join(_DIR, "build.sh")],
+                    check=True, capture_output=True, timeout=300,
+                )
+            except Exception as e:
+                _lib_av_err = f"native av build failed: {e}"
+                return None
+            if not os.path.exists(_SO_AV):  # ffmpeg SDK absent: soft skip
+                _lib_av_err = "ffmpeg dev SDK not present"
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_AV)
+        except OSError as e:
+            _lib_av_err = f"native av load failed: {e}"
+            return None
+        lib.asltpu_av_decode_clip.restype = ctypes.c_int
+        lib.asltpu_av_decode_batch.restype = ctypes.c_int
+        lib.asltpu_av_abi_version.restype = ctypes.c_int
+        if lib.asltpu_av_abi_version() != 1:
+            _lib_av_err = "native av ABI version mismatch"
+            return None
+        _lib_av = lib
+        return _lib_av
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -67,6 +122,15 @@ def available() -> bool:
 def unavailable_reason() -> Optional[str]:
     _load()
     return _lib_err
+
+
+def av_available() -> bool:
+    return _load_av() is not None
+
+
+def av_unavailable_reason() -> Optional[str]:
+    _load_av()
+    return _lib_av_err
 
 
 def _frame_shape(hs: int, ws: int, yuv420: bool) -> Tuple[int, ...]:
@@ -147,6 +211,88 @@ def decode_batch_native(
         c_fe.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         c_bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         int(yuv420), int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, ok
+
+
+def decode_clip_av(
+    path: str,
+    num_frames: int,
+    staging_size: Tuple[int, int],
+    host_resize_short: int = 0,
+    frame_start: int = 1,
+    frame_end: int = -1,
+    bbox=None,
+    yuv420: bool = False,
+    fast_flags: int = 0,
+) -> np.ndarray:
+    """libav single-clip decode (throughput backend; tolerance-parity).
+
+    ``fast_flags``: OR of FAST_LOWRES / FAST_SKIP_LOOP_FILTER /
+    FAST_SKIP_NONREF — each trades exactness for decode work (opt-in)."""
+    lib = _load_av()
+    if lib is None:
+        raise RuntimeError(_lib_av_err or "native av decode unavailable")
+    hs, ws = staging_size
+    out = np.empty((num_frames, *_frame_shape(hs, ws, yuv420)), np.uint8)
+    bb = (ctypes.c_int * 4)(*[int(v) for v in bbox]) if bbox else None
+    rc = lib.asltpu_av_decode_clip(
+        path.encode(), num_frames, hs, ws, host_resize_short,
+        int(frame_start), int(frame_end), bb, int(yuv420), int(fast_flags),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc == -1:
+        raise IOError(f"cannot open video: {path}")
+    if rc != 0:
+        raise IOError(f"no decodable frames in {path}")
+    return out
+
+
+def decode_batch_av(
+    items: Sequence,
+    num_frames: int,
+    staging_size: Tuple[int, int],
+    host_resize_short: int = 0,
+    yuv420: bool = False,
+    fast_flags: int = 0,
+    n_threads: int = 4,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """libav batch decode on native threads (GIL released). Same contract
+    as decode_batch_native plus ``fast_flags``."""
+    lib = _load_av()
+    if lib is None:
+        raise RuntimeError(_lib_av_err or "native av decode unavailable")
+    n = len(items)
+    hs, ws = staging_size
+    if out is None:
+        out = np.empty((n, num_frames, *_frame_shape(hs, ws, yuv420)),
+                       np.uint8)
+    paths, fs, fe, bbs = [], [], [], []
+    for it in items:
+        if hasattr(it, "path") and hasattr(it, "frame_start"):
+            paths.append(it.path)
+            fs.append(it.frame_start)
+            fe.append(it.frame_end)
+            bbs.append(list(it.bbox) if it.bbox else [_INT_MIN, 0, 0, 0])
+        else:
+            paths.append(it)
+            fs.append(1)
+            fe.append(-1)
+            bbs.append([_INT_MIN, 0, 0, 0])
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_fs = np.asarray(fs, np.int32)
+    c_fe = np.asarray(fe, np.int32)
+    c_bb = np.asarray(bbs, np.int32)
+    ok = np.empty((n,), np.int32)
+    lib.asltpu_av_decode_batch(
+        c_paths, n, num_frames, hs, ws, host_resize_short,
+        c_fs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        c_fe.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        c_bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        int(yuv420), int(fast_flags), int(n_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
