@@ -251,20 +251,38 @@ def _limit_cv2_threads():
 
 
 class NativeDecodePool:
-    """Batch decoder backed by the C++ library (asltpu/native): the whole
+    """Batch decoder backed by a C++ library (asltpu/native): the whole
     batch decodes on NATIVE threads with the GIL released for the call, and
     the next batch decodes in the background while the consumer handles the
     current one — the highest-throughput decode path on GIL-contended
-    hosts. Byte-identical to the Python path (tested)."""
+    hosts.
 
-    def __init__(self, cfg: PreprocessConfig, num_workers: int = 4):
+    Two native libraries: ``lib="opencv"`` (decode.cpp — byte-identical to
+    the Python path, tested) and ``lib="av"`` (decode_av.cpp — direct
+    libavcodec: staging resamples the decoder's native YUV planes instead
+    of round-tripping through BGR, plus opt-in codec-level work reduction
+    via ``fast_flags``; tolerance-parity, measured faster on ≥480p
+    sources)."""
+
+    def __init__(self, cfg: PreprocessConfig, num_workers: int = 4,
+                 lib: str = "opencv", fast_flags: int = 0):
         from asltpu import native
 
-        if not native.available():
+        if lib not in ("opencv", "av"):
+            raise ValueError(f"lib must be opencv|av, got {lib}")
+        if lib == "av":
+            if not native.av_available():
+                raise RuntimeError(
+                    "native av decode unavailable: "
+                    f"{native.av_unavailable_reason()}"
+                )
+        elif not native.available():
             raise RuntimeError(
                 f"native decode unavailable: {native.unavailable_reason()}"
             )
         self.cfg = cfg
+        self.lib = lib
+        self.fast_flags = fast_flags
         self._n = num_workers
         self._native = native
         self._pipeline = ThreadPoolExecutor(
@@ -273,6 +291,13 @@ class NativeDecodePool:
 
     def _decode(self, items):
         cfg = self.cfg
+        if self.lib == "av":
+            return self._native.decode_batch_av(
+                items, cfg.num_frames, cfg.staging_size,
+                cfg.host_resize_short,
+                yuv420=cfg.staging_format == "yuv420",
+                fast_flags=self.fast_flags, n_threads=self._n,
+            )
         return self._native.decode_batch_native(
             items, cfg.num_frames, cfg.staging_size, cfg.host_resize_short,
             yuv420=cfg.staging_format == "yuv420", n_threads=self._n,
@@ -422,12 +447,25 @@ class DecodePool:
 
 
 def make_decode_pool(
-    cfg: PreprocessConfig, num_workers: int = 4, backend: str = "auto"
+    cfg: PreprocessConfig, num_workers: int = 4, backend: str = "auto",
+    fast_flags: int = 0,
 ):
-    """Decode-pool factory. ``backend``: "native" (C++ batch decoder, GIL
-    released), "process", "thread", or "auto" — native when the library is
-    buildable, else process workers (3× thread throughput under GIL
-    contention), else threads."""
+    """Decode-pool factory. ``backend``:
+
+    - "native": OpenCV C++ batch decoder (byte-identical to Python, GIL
+      released);
+    - "av": libavcodec C++ batch decoder (direct-YUV staging + codec-level
+      ``fast_flags``; tolerance-parity, fastest on ≥480p sources);
+    - "process" / "thread": Python pools;
+    - "auto": native → process → thread, first available. (The av backend
+      is never auto-selected: its output is not byte-identical, so callers
+      choose it explicitly — bench/serving throughput paths do.)
+
+    ``fast_flags`` (av only): OR of ``asltpu.native.FAST_*`` bits.
+    """
+    if backend == "av":
+        return NativeDecodePool(cfg, num_workers=num_workers, lib="av",
+                                fast_flags=fast_flags)
     if backend in ("auto", "native"):
         try:
             return NativeDecodePool(cfg, num_workers=num_workers)

@@ -1,0 +1,134 @@
+"""libav (ffmpeg-direct) decoder vs the cv2 oracle: tolerance parity and
+contract conformance (C1 throughput backend, decode_av.cpp).
+
+Unlike the OpenCV-backed native decoder (byte-identical, test_native_decode
+.py), the av backend resamples the decoder's native YUV planes with
+swscale — a different (equally valid) bilinear implementation — so parity
+is TOLERANCE-based: staged frames must be visually identical (small mean
+absolute difference, no structural offset) to the cv2 path, not
+bit-identical.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from asltpu import native
+from asltpu.config import PreprocessConfig
+from asltpu.data.decode import NativeDecodePool, decode_sampled_frames, make_decode_pool
+from asltpu.data.wlasl import WLASLIndex
+
+pytestmark = pytest.mark.skipif(
+    not native.av_available(),
+    reason=f"native av decode: {native.av_unavailable_reason()}",
+)
+
+PP_RGB = PreprocessConfig(num_frames=4, staging_size=(64, 64))
+PP_YUV = PreprocessConfig(num_frames=4, staging_size=(64, 64),
+                          host_resize_short=72, staging_format="yuv420")
+
+
+def _mad(a, b):
+    return float(np.mean(np.abs(a.astype(np.int32) - b.astype(np.int32))))
+
+
+@pytest.mark.parametrize("pp", [PP_RGB, PP_YUV], ids=["rgb", "yuv420"])
+def test_av_close_to_python_oracle(tiny_wlasl, pp):
+    """Same frames sampled, staged output within tolerance of the cv2 path.
+
+    Tolerance: mean abs diff ≤ 3/255 across the clip (resampler and
+    YUV-round-trip differences are sub-quantization-noise; a wrong frame,
+    crop offset, or plane-layout bug produces MAD in the tens)."""
+    index, videos = tiny_wlasl
+    records = WLASLIndex(index, videos, subset=6).split("train")[:4]
+    for r in records:
+        py = decode_sampled_frames(
+            r.path, pp.num_frames, pp.staging_size, pp.host_resize_short,
+            frame_start=r.frame_start, frame_end=r.frame_end, bbox=r.bbox,
+            staging_format=pp.staging_format,
+        )
+        av = native.decode_clip_av(
+            r.path, pp.num_frames, pp.staging_size, pp.host_resize_short,
+            frame_start=r.frame_start, frame_end=r.frame_end, bbox=r.bbox,
+            yuv420=pp.staging_format == "yuv420",
+        )
+        assert av.shape == py.shape and av.dtype == np.uint8
+        assert _mad(py, av) <= 3.0, (
+            f"av decode diverges from cv2 oracle for {r.path}: "
+            f"MAD={_mad(py, av):.2f}"
+        )
+
+
+def test_av_segment_and_bbox(tiny_wlasl):
+    """Frame segments and signer bbox crops honored (tolerance parity)."""
+    index, videos = tiny_wlasl
+    base = WLASLIndex(index, videos, subset=6).split("train")[0]
+    rec = dataclasses.replace(base, frame_start=3, frame_end=10,
+                              bbox=(5, 5, 60, 60))
+    py = decode_sampled_frames(
+        rec.path, PP_RGB.num_frames, PP_RGB.staging_size,
+        PP_RGB.host_resize_short, frame_start=3, frame_end=10,
+        bbox=(5, 5, 60, 60), staging_format="rgb",
+    )
+    av, ok = native.decode_batch_av(
+        [rec], PP_RGB.num_frames, PP_RGB.staging_size,
+        PP_RGB.host_resize_short, yuv420=False)
+    assert ok[0] == 0
+    # bbox rescaling + chroma alignment may shift the crop by ≤1 source
+    # pixel relative to cv2's exact pixel crop — tolerance slightly wider.
+    assert _mad(py, av[0]) <= 6.0
+
+
+def test_av_pool_contract(tiny_wlasl, tmp_path):
+    """NativeDecodePool(lib='av') honors the map_batches contract
+    (padding, kept indices, skip semantics)."""
+    index, videos = tiny_wlasl
+    records = WLASLIndex(index, videos, subset=6).split("train")[:3]
+    paths = [r.path for r in records] + [str(tmp_path / "missing.mp4")]
+    pool = NativeDecodePool(PP_RGB, num_workers=2, lib="av")
+    try:
+        with pytest.raises(IOError):
+            list(pool.map_batches(paths, 4))
+        (frames, kept), = list(pool.map_batches(paths, 4, on_error="skip"))
+        assert kept == [0, 1, 2]
+        assert frames.shape[0] == 4
+        np.testing.assert_array_equal(frames[3], frames[2])
+    finally:
+        pool.shutdown()
+
+
+def test_av_fast_flags_still_valid_frames(tiny_wlasl):
+    """Fast mode (lowres + filter/nonref skip) is approximate by design but
+    must still produce the right frames: same shapes, finite tolerance vs
+    the exact path (these tiny 64² mp4v sources have no room for lowres, so
+    fast-mode output should stay close; the flag path itself must not
+    corrupt sampling)."""
+    index, videos = tiny_wlasl
+    records = WLASLIndex(index, videos, subset=6).split("train")[:2]
+    flags = (native.FAST_LOWRES | native.FAST_SKIP_LOOP_FILTER
+             | native.FAST_SKIP_NONREF)
+    for r in records:
+        exact = native.decode_clip_av(
+            r.path, PP_RGB.num_frames, PP_RGB.staging_size,
+            PP_RGB.host_resize_short,
+        )
+        fast = native.decode_clip_av(
+            r.path, PP_RGB.num_frames, PP_RGB.staging_size,
+            PP_RGB.host_resize_short, fast_flags=flags,
+        )
+        assert fast.shape == exact.shape
+        assert _mad(exact, fast) <= 8.0
+
+
+def test_make_decode_pool_av_backend():
+    pool = make_decode_pool(PP_RGB, backend="av")
+    assert isinstance(pool, NativeDecodePool) and pool.lib == "av"
+    pool.shutdown()
+
+
+def test_auto_never_selects_av():
+    """Auto must keep the byte-identical OpenCV backend (av is opt-in)."""
+    pool = make_decode_pool(PP_RGB, backend="auto")
+    assert getattr(pool, "lib", "opencv") == "opencv"
+    pool.shutdown()
