@@ -5,12 +5,20 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
 
-Pipeline measured: cv2 host decode (thread pool) → double-buffered
-host→device prefetch → ONE XLA program (preprocess → MobileNetV2 → GRU →
-logits). The decode corpus is synthetic mp4s (the real WLASL videos are
-takedown-prone; codec work is identical) — 256² by default, plus an optional
-realistic ≥480p corpus (``--realistic-corpus``) whose decode rate is
-reported separately so the headline number cannot hide decode cost.
+Pipeline measured: native host decode → host→device staging transfer →
+jitted preprocess+model → logits, as ONE CONTINUOUS STREAM over a corpus
+of distinct fresh files. The stream is split into windows (default 3) at
+batch granularity; ``value`` is the MEDIAN window rate (round-2's
+best-of-2 with an 8× spread was fragile evidence — VERDICT r2 weak #1),
+and the first window deliberately carries the pipeline-fill bubble so
+steady-state and fill cost are both visible.
+
+Two device-throughput definitions are reported (they diverged silently
+between rounds 1 and 2 — VERDICT r2 weak #2):
+  - ``device_pipeline_clips_per_sec``: serialized put+exec segments timed
+    INSIDE the e2e stream (honest in-pipeline figure);
+  - ``device_standalone_clips_per_sec``: a pure device loop on resident
+    input with one trailing host fetch (the r01 definition; upper bound).
 
 Measurement ordering (matters on this host): this environment's TPU relay
 link degrades from ~1.5 GB/s to ~10-30 MB/s after the FIRST execution of a
@@ -18,7 +26,8 @@ large program, and carries a global ~300 MB fast-transfer budget (see
 README "known environment limits"; measured in round 2). The e2e run
 therefore happens immediately after the single unavoidable warmup
 execution, BEFORE any transfer/device diagnostics that would drain the
-budget further.
+budget further; the fused-Pallas contract-path measurement runs LAST
+because its first execution degrades the link for everything after it.
 
 Wire format: staged frames default to packed I420 (``--staging-format
 yuv420``) — half the host→device bytes of RGB; the device converts
@@ -29,8 +38,10 @@ yuv420``) — half the host→device bytes of RGB; the device converts
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -81,31 +92,110 @@ def _wait_link_healthy(
     }
 
 
+def _make_corpus(tmp, prefix, n, size, seed0):
+    """n DISTINCT fresh files: repeat decodes of a file run ~2.4× faster on
+    this host, so a reused corpus would overstate the honest (cold,
+    decode-each-clip-once) pipeline throughput."""
+    from asltpu.data.synthetic import write_video
+
+    paths = []
+    for i in range(n):
+        p = os.path.join(tmp, f"{prefix}{i:03d}.mp4")
+        write_video(p, num_frames=50, size=size, seed=seed0 + i)
+        paths.append(p)
+    return paths
+
+
+def _stream_e2e(pool, fn, variables, corpus, batch, n_windows=3):
+    """One continuous decode→put→exec stream over ``corpus``.
+
+    Returns (window_rates, overall_rate, device_pipeline_rate,
+    window_detail): the stream is cut into ``n_windows`` contiguous
+    batch-groups; window 0 includes the pipeline-fill bubble (decode-ahead
+    has nothing buffered yet), later windows are steady state.
+    """
+    import jax
+
+    events = []  # (t_done, n_kept, dev_seconds)
+    t_start = time.perf_counter()
+    t_prev = t_start
+    for frames, kept in pool.map_batches(corpus, batch):
+        td = time.perf_counter()
+        dev = jax.device_put(frames)
+        jax.block_until_ready(dev)
+        out = fn(variables, dev)
+        jax.block_until_ready(out)
+        t_now = time.perf_counter()
+        events.append((t_prev, t_now, len(kept), t_now - td))
+        t_prev = t_now
+    if not events:
+        return [], 0.0, 0.0, []
+    total_n = sum(e[2] for e in events)
+    total_t = events[-1][1] - t_start
+    dev_t = sum(e[3] for e in events)
+    # Contiguous windows at batch granularity.
+    nb = len(events)
+    nw = min(n_windows, nb)
+    bounds = [round(k * nb / nw) for k in range(nw + 1)]
+    rates, detail = [], []
+    for k in range(nw):
+        evs = events[bounds[k]:bounds[k + 1]]
+        if not evs:
+            continue
+        t0 = t_start if k == 0 else evs[0][0]
+        dt = evs[-1][1] - t0
+        n = sum(e[2] for e in evs)
+        rates.append(round(n / max(dt, 1e-9), 2))
+        detail.append({
+            "clips": n,
+            "seconds": round(dt, 3),
+            "device_seconds": round(sum(e[3] for e in evs), 3),
+        })
+    return (
+        rates,
+        total_n / max(total_t, 1e-9),
+        total_n / max(dev_t, 1e-9),
+        detail,
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--clips", type=int, default=256, help="e2e corpus size")
-    # 4 decode workers; PROCESS workers decode ~3× faster than threads here
-    # (the GIL serializes staging work against batch assembly / RPC
-    # bookkeeping on the main thread).
+    ap.add_argument("--clips", type=int, default=256,
+                    help="e2e corpus size (honored exactly; VERDICT r2 "
+                         "ADVICE #4 — no silent cap)")
     ap.add_argument("--decode-workers", type=int, default=4)
     ap.add_argument("--decode-backend", default="auto",
-                    choices=["auto", "native", "process", "thread"],
-                    help="auto = C++ native batch decoder when buildable, "
-                         "else process workers, else threads")
+                    choices=["auto", "native", "av", "process", "thread"],
+                    help="auto = C++ OpenCV batch decoder when buildable, "
+                         "else process workers, else threads; av = direct "
+                         "libavcodec (tolerance-parity throughput backend)")
+    ap.add_argument("--decode-fast", action="store_true",
+                    help="av backend only: enable codec-level work "
+                         "reduction (lowres + loop-filter/nonref skip); "
+                         "approximate decode, measured separately anyway")
+    ap.add_argument("--windows", type=int, default=3,
+                    help="number of contiguous e2e measurement windows; "
+                         "value = median window rate")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--staging-format", choices=["rgb", "yuv420"],
                     default="yuv420",
                     help="wire format of staged frames (yuv420 = half bytes)")
     ap.add_argument("--fused", action="store_true",
-                    help="measure the single fused XLA program instead of "
-                         "the split two-program chain (the fused compile "
-                         "degrades this host's relay link ~50x — see README)")
+                    help="measure the single fused XLA program as the "
+                         "MAIN pipeline instead of the split two-program "
+                         "chain (the fused compile degrades this host's "
+                         "relay link ~50x — see README)")
     ap.add_argument("--no-realistic-corpus", action="store_true",
-                    help="skip the 640×480 decode-only measurement "
+                    help="skip the 640×480 decode + e2e measurements "
                          "(real WLASL sources are ≥480p; measured by "
                          "default so the 256² headline can't hide decode "
                          "cost)")
+    ap.add_argument("--no-contract-path", action="store_true",
+                    help="skip the fused-Pallas one-program contract-path "
+                         "measurement (runs last; its first execution "
+                         "degrades the relay link)")
     ap.add_argument(
         "--all-configs", action="store_true",
         help="also measure device-path throughput of every model config",
@@ -117,7 +207,7 @@ def main() -> int:
     )
     ap.add_argument(
         "--trace", default=None, metavar="DIR",
-        help="capture a jax.profiler TPU trace of the timed e2e passes "
+        help="capture a jax.profiler TPU trace of the timed e2e stream "
         "into DIR (view in TensorBoard/Perfetto)",
     )
     args = ap.parse_args()
@@ -126,7 +216,6 @@ def main() -> int:
 
     from asltpu.api import load_model
     from asltpu.data.decode import make_decode_pool
-    from asltpu.data.synthetic import write_video
 
     # Transfer-thin staging: host performs resize+crop so only final-size
     # bytes cross the degraded relay link; the device normalizes (and, for
@@ -145,16 +234,16 @@ def main() -> int:
     pp = model.cfg.preprocess
     fn = model.predict_fn()
 
-    # ---- decode corpus (host-only; no link traffic) ----------------------
-    # Every clip is a DISTINCT file: repeat decodes of a file run ~2.4×
-    # faster on this host, so a reused corpus would overstate the honest
-    # (cold, decode-each-clip-once) pipeline throughput.
+    fast_flags = 0
+    if args.decode_fast:
+        from asltpu import native as _native
+
+        fast_flags = (_native.FAST_LOWRES | _native.FAST_SKIP_LOOP_FILTER
+                      | _native.FAST_SKIP_NONREF)
+
+    # ---- decode corpora (host-only; no link traffic) ---------------------
     tmp = tempfile.mkdtemp(prefix="asltpu_bench_")
-    corpus = []
-    for i in range(min(args.clips, 128)):
-        p = os.path.join(tmp, f"clip{i:03d}.mp4")
-        write_video(p, num_frames=50, size=(256, 256), seed=i)
-        corpus.append(p)
+    corpus = _make_corpus(tmp, "clip", args.clips, (256, 256), 0)
 
     # ---- compile + warmup with DEVICE-CREATED input: zero link bytes spent
     # before the e2e run (the relay carries a global fast-transfer budget).
@@ -171,63 +260,39 @@ def main() -> int:
     # ---- link settle: refill the global transfer budget before e2e -------
     link = _wait_link_healthy(args.link_settle) if args.link_settle else {}
 
-    # ---- end-to-end FIRST: decode pool → serialized transfer+exec --------
-    # Decode threads overlap device work (the double-buffering contract),
+    # ---- end-to-end FIRST: one continuous decode→put→exec stream ---------
+    # Decode runs ahead on native threads (the double-buffering contract),
     # but the device RPCs themselves are STRICTLY SERIAL: blocking
     # device_put, then blocking execute. Measured round 2: overlapping a
     # transfer with an in-flight execute wedges this host's relay (RPCs
     # stall for minutes), while the serialized loop sustains ~850 clips/s
-    # device-side — decode is then the only bottleneck. Host decode
-    # throughput on this shared VM varies ~3× run-to-run, so the e2e runs
-    # TWICE over distinct fresh corpora; the best pass is the headline
-    # (both are reported).
+    # device-side — decode is then the only bottleneck.
     pool = make_decode_pool(pp, num_workers=args.decode_workers,
-                            backend=args.decode_backend)
+                            backend=args.decode_backend,
+                            fast_flags=fast_flags)
 
-    def e2e_pass(clip_paths):
-        """Returns (e2e clips/s, device-portion clips/s): the device number
-        times only the serialized put+exec segments of the SAME run — a
-        standalone device loop either inflates (early ready-acks) or
-        poisons the link before the e2e (round-2 findings), so the honest
-        device figure comes from inside the pipeline."""
-        t0 = time.perf_counter()
-        t_dev = 0.0
-        n_done = 0
-        for batch, kept in pool.map_batches(clip_paths, args.batch):
-            td = time.perf_counter()
-            dev_batch = jax.device_put(batch)
-            jax.block_until_ready(dev_batch)
-            out = fn(model.variables, dev_batch)
-            jax.block_until_ready(out)
-            t_dev += time.perf_counter() - td
-            n_done += len(kept)
-        total = time.perf_counter() - t0
-        return n_done / total, n_done / max(t_dev, 1e-9)
-
-    # Untimed warmup pass: absorbs process-pool spin-up and the relay's
-    # first-batch staging so the timed passes measure the pipeline.
-    warm = []
-    for i in range(16):
-        p = os.path.join(tmp, f"warm{i:02d}.mp4")
-        write_video(p, num_frames=50, size=(256, 256), seed=500 + i)
-        warm.append(p)
-    e2e_pass(warm)
-
-    import contextlib
+    # Untimed warmup pass: absorbs pool spin-up and the relay's
+    # first-batch staging so the timed stream measures the pipeline.
+    warm = _make_corpus(tmp, "warm", 16, (256, 256), 500)
+    for frames_w, _ in pool.map_batches(warm, args.batch):
+        d = jax.device_put(frames_w)
+        jax.block_until_ready(fn(model.variables, d))
 
     from asltpu.utils.profiling import trace as profiler_trace
 
     trace_cm = (
         profiler_trace(args.trace) if args.trace else contextlib.nullcontext()
     )
-    half = len(corpus) // 2
     with trace_cm:
-        results = [e2e_pass(corpus[:half]), e2e_pass(corpus[half:])]
-    e2e_passes = [round(r[0], 2) for r in results]
-    e2e_cps = max(e2e_passes)
-    # Device figure from the best pass (the other pass's device RPCs may
-    # have run in a throttled window).
-    device_cps = max(r[1] for r in results)
+        win_rates, e2e_overall, dev_pipeline_cps, win_detail = _stream_e2e(
+            pool, fn, model.variables, corpus, args.batch,
+            n_windows=args.windows,
+        )
+    e2e_cps = statistics.median(win_rates) if win_rates else 0.0
+    spread = (
+        round(max(win_rates) / max(min(win_rates), 1e-9), 2)
+        if win_rates else None
+    )
 
     # ---- host→device transfer rate (serial blocking copies) -------------
     t0 = time.perf_counter()
@@ -241,39 +306,122 @@ def main() -> int:
     # host; the e2e above decodes each file for the first time, so the
     # diagnostic must too — reusing the e2e corpus would overstate the
     # decode bound (round-2 finding).
-    fresh = []
-    for i in range(32):
-        p = os.path.join(tmp, f"fresh{i:02d}.mp4")
-        write_video(p, num_frames=50, size=(256, 256), seed=1000 + i)
-        fresh.append(p)
+    fresh = _make_corpus(tmp, "fresh", 32, (256, 256), 1000)
     t0 = time.perf_counter()
     n_dec = 0
-    for batch, kept in pool.map_batches(fresh, args.batch):
+    for batch_f, kept in pool.map_batches(fresh, args.batch):
         n_dec += len(kept)
     decode_cps = n_dec / (time.perf_counter() - t0)
     pool.shutdown()
 
-    decode_480_cps = None
+    realistic = {}
     if not args.no_realistic_corpus:
-        # Real WLASL sources are ≥480p — measure first-pass decode on
-        # 640×480 files too.
-        paths480 = []
-        for i in range(32):
-            p = os.path.join(tmp, f"clip480_{i:02d}.mp4")
-            write_video(p, num_frames=50, size=(480, 640), seed=100 + i)
-            paths480.append(p)
-        pool480 = make_decode_pool(pp, num_workers=args.decode_workers,
-                                   backend=args.decode_backend)
-        t0 = time.perf_counter()
-        n_dec = 0
-        for batch, kept in pool480.map_batches(paths480, args.batch):
-            n_dec += len(kept)
-        decode_480_cps = n_dec / (time.perf_counter() - t0)
-        pool480.shutdown()
+        # Real WLASL sources are ≥480p — measure decode AND the full
+        # pipeline on 640×480 files (the 256² headline can't hide decode
+        # cost). Decode-only is measured for each available backend so the
+        # work-reduction levers (direct-YUV staging, lowres, filter skip)
+        # are visible side by side.
+        def _decode_rate(backend, bpaths, flags=0):
+            try:
+                p4 = make_decode_pool(pp, num_workers=args.decode_workers,
+                                      backend=backend, fast_flags=flags)
+            except Exception:
+                return None
+            t0 = time.perf_counter()
+            n = 0
+            for _, kept in p4.map_batches(bpaths, args.batch):
+                n += len(kept)
+            rate = n / (time.perf_counter() - t0)
+            p4.shutdown()
+            return round(rate, 2)
+
+        paths480_a = _make_corpus(tmp, "c480a_", 32, (480, 640), 100)
+        paths480_b = _make_corpus(tmp, "c480b_", 32, (480, 640), 2000)
+        paths480_c = _make_corpus(tmp, "c480c_", 32, (480, 640), 3000)
+        paths480_d = _make_corpus(tmp, "c480d_", 48, (480, 640), 4000)
+        realistic["decode_only_480p_clips_per_sec"] = _decode_rate(
+            "native" if args.decode_backend == "auto" else args.decode_backend,
+            paths480_a)
+        r_av = _decode_rate("av", paths480_b)
+        if r_av is not None:
+            realistic["decode_only_480p_av_clips_per_sec"] = r_av
+        from asltpu import native as _nat
+
+        r_av_fast = _decode_rate(
+            "av", paths480_c,
+            _nat.FAST_LOWRES | _nat.FAST_SKIP_LOOP_FILTER
+            | _nat.FAST_SKIP_NONREF)
+        if r_av_fast is not None:
+            realistic["decode_only_480p_av_fast_clips_per_sec"] = r_av_fast
+        # Full pipeline at 480p: best available backend (exact mode).
+        be_order = (["av", "native", "auto"]
+                    if r_av is not None else ["native", "auto"])
+        for be in be_order:
+            try:
+                p480 = make_decode_pool(pp, num_workers=args.decode_workers,
+                                        backend=be)
+                break
+            except Exception:
+                continue
+        rr, r_overall, _, _ = _stream_e2e(
+            p480, fn, model.variables, paths480_d, args.batch, n_windows=1)
+        p480.shutdown()
+        realistic["e2e_realistic_clips_per_sec"] = rr[0] if rr else 0.0
+        realistic["e2e_realistic_backend"] = type(p480).__name__ + (
+            ":av" if getattr(p480, "lib", "") == "av" else "")
+
+    # ---- standalone device loop (r01 definition; upper bound) -----------
+    # Runs AFTER e2e: its execution pattern (exec-only on resident input)
+    # can leave the relay in the early-ack regime, so nothing downstream of
+    # it may depend on link health except the contract path (which degrades
+    # the link itself anyway).
+    dev_in = jax.device_put(frames)
+    jax.block_until_ready(fn(model.variables, dev_in))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(model.variables, dev_in)
+    np.asarray(out)  # host fetch defeats early ready-acks (round-2 artifact)
+    dev_standalone_cps = iters * args.batch / (time.perf_counter() - t0)
+    # Link state stamp: a throttled relay (post-e2e budget drain) makes the
+    # standalone number garbage in either direction — the stamp lets the
+    # reader discard it honestly instead of comparing it across rounds.
+    link_after = round(_probe_link_mbps(), 1)
 
     per_config = {}
     if args.all_configs:
         per_config = _bench_all_configs()
+
+    # ---- contract path LAST: fused Pallas one-program predict ----------
+    # ``BASELINE.json:4`` specifies a fused Pallas preprocess inside ONE
+    # XLA program (RGB staging). On this host the fused program's first
+    # execution degrades the relay ~50×, so it could never be part of the
+    # headline pipeline — but its cost must be visible (VERDICT r2 missing
+    # #4), so it is measured here at the end: in-pipeline-style serialized
+    # put+exec on staged RGB input.
+    contract = {}
+    if not args.no_contract_path and not args.fused:
+        try:
+            cmodel = load_model("mobilenet_gru")  # contract defaults:
+            # staging 256², device resize+crop 224², use_pallas=True, RGB
+            cpp = cmodel.cfg.preprocess
+            cfn = cmodel.predict_fn()
+            cframes = _staged_batch(cpp, args.batch)
+            cdev = jax.device_put(cframes)
+            jax.block_until_ready(cfn(cmodel.variables, cdev))  # warm+degrade
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(5):
+                d = jax.device_put(cframes)
+                jax.block_until_ready(d)
+                jax.block_until_ready(cfn(cmodel.variables, d))
+                n += args.batch
+            contract["fused_pallas_device_clips_per_sec"] = round(
+                n / (time.perf_counter() - t0), 2)
+            contract["fused_pallas_link_mbps_after"] = round(
+                _probe_link_mbps(), 1)
+        except Exception as e:  # never let the contract probe kill the bench
+            contract["fused_pallas_error"] = f"{type(e).__name__}: {e}"
 
     result = {
         "metric": "e2e clips/sec/chip decode->logits (WLASL-100 16f 224^2, "
@@ -281,12 +429,19 @@ def main() -> int:
         "value": round(e2e_cps, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(e2e_cps / 500.0, 3),
-        "device_only_clips_per_sec": round(device_cps, 2),
+        "e2e_overall_clips_per_sec": round(e2e_overall, 2),
+        "e2e_windows_clips_per_sec": win_rates,
+        "e2e_window_spread": spread,
+        "e2e_window_detail": win_detail,
+        "device_pipeline_clips_per_sec": round(dev_pipeline_cps, 2),
+        "device_standalone_clips_per_sec": round(dev_standalone_cps, 2),
+        "link_mbps_after_diagnostics": link_after,
         "transfer_clips_per_sec": round(xfer_cps, 2),
         "decode_only_clips_per_sec": round(decode_cps, 2),
         "batch": args.batch,
-        "e2e_passes_clips_per_sec": e2e_passes,
-        "decode_backend": type(pool).__name__,
+        "corpus_clips": len(corpus),
+        "decode_backend": type(pool).__name__ + (
+            ":av" if getattr(pool, "lib", "") == "av" else ""),
         "split_programs": not args.fused,
         "staging_format": pp.staging_format,
         "staged_mb_per_clip": round(
@@ -294,9 +449,9 @@ def main() -> int:
         ),
         "platform": jax.devices()[0].platform,
         **link,
+        **realistic,
+        **contract,
     }
-    if decode_480_cps is not None:
-        result["decode_only_480p_clips_per_sec"] = round(decode_480_cps, 2)
     if per_config:
         result["device_clips_per_sec_by_config"] = per_config
     print(json.dumps(result))
