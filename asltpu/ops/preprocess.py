@@ -193,6 +193,22 @@ def preprocess_clip(frames_u8: jax.Array, cfg: PreprocessConfig) -> jax.Array:
     fused Pallas kernel on TPU or the MXU-matmul jnp path (CPU tests /
     ``use_pallas=False``)."""
     if cfg.staging_format == "yuv420":
+        if (
+            cfg.use_pallas
+            and frames_u8.ndim == 4
+            and _thin_mode_identity(cfg)
+            and jax.devices()[0].platform == "tpu"
+        ):
+            # Fused Pallas lane for the production wire format: the XLA
+            # path's chroma upsample + channel interleave cost ~6× the
+            # cast-only speed of light (measured round 3,
+            # tools/probe_device.py yuv); the kernel does conversion +
+            # normalize + interleave in one HBM pass.
+            from asltpu.ops.preprocess_pallas import (
+                preprocess_clip_yuv420_pallas,
+            )
+
+            return preprocess_clip_yuv420_pallas(frames_u8, cfg)
         return preprocess_clip_yuv420(frames_u8, cfg)
     if frames_u8.ndim == 5 and _thin_mode_identity(cfg):
         return preprocess_clip_normalize_only(frames_u8, cfg)

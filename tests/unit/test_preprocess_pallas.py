@@ -37,3 +37,47 @@ def test_pallas_kernel_bf16_output(rng):
     np.testing.assert_allclose(
         np.asarray(got).astype(np.float32), want, atol=2e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused yuv420 kernel (the production wire format's Pallas lane; VERDICT r2
+# next-round #9). Identity-resize configurations only — the dispatcher falls
+# back to the XLA path otherwise.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("size", [48, 64])
+def test_pallas_yuv420_matches_xla_path(rng, size):
+    from asltpu.ops.preprocess import preprocess_clip_yuv420
+    from asltpu.ops.preprocess_pallas import preprocess_clip_yuv420_pallas
+
+    cfg = PreprocessConfig(
+        num_frames=2, staging_size=(size, size), resize_short=size, crop=size,
+        out_dtype="float32", staging_format="yuv420",
+    )
+    planes = rng.integers(
+        0, 256, size=(2, 2, size * 3 // 2, size), dtype=np.uint8
+    )
+    got = np.asarray(preprocess_clip_yuv420_pallas(planes, cfg, interpret=True))
+    want = np.asarray(preprocess_clip_yuv420(planes, cfg))
+    assert got.shape == want.shape == (2, 2, size, size, 3)
+    # f32 end to end: only summation-order differences remain.
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_yuv420_bf16_output(rng):
+    from asltpu.ops.preprocess import preprocess_clip_yuv420
+    from asltpu.ops.preprocess_pallas import preprocess_clip_yuv420_pallas
+
+    cfg = PreprocessConfig(
+        num_frames=1, staging_size=(48, 48), resize_short=48, crop=48,
+        out_dtype="bfloat16", staging_format="yuv420",
+    )
+    planes = rng.integers(0, 256, size=(1, 1, 72, 48), dtype=np.uint8)
+    got = preprocess_clip_yuv420_pallas(planes, cfg, interpret=True)
+    assert str(got.dtype) == "bfloat16"
+    want = np.asarray(preprocess_clip_yuv420(planes, cfg)).astype(np.float32)
+    # bf16 cast at the end: 1 ulp at |x|≈4 is 0.03.
+    np.testing.assert_allclose(
+        np.asarray(got).astype(np.float32), want, atol=4e-2
+    )

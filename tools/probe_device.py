@@ -1,0 +1,212 @@
+"""Throttle-immune device probes (round-3 measurement campaign).
+
+This host's TPU relay throttles *per-RPC* after its fast budget drains
+(README "known environment limits"): any timing loop that issues one
+device RPC per iteration measures relay latency, not device compute —
+round-2/3 probes that timed per-call saw 25 s/iter of pure RPC noise.
+
+Every probe here therefore issues ONE dispatch: the workload runs inside
+``lax.fori_loop`` within a single jitted program (input created on-device,
+iteration-dependent so XLA cannot hoist it; output reduced to one scalar
+so the host fetch is 4 bytes). Wall-clock per iteration =
+(t_call2 / iters): one RPC's latency is amortized over all iterations, so
+the number is valid in ANY relay state.
+
+Usage:  python tools/probe_device.py {yuv,backbone,i3d} [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _timed_single_dispatch(run, x, label, work_per_iter, iters):
+    """Compile+run once (untimed), then time ONE dispatch of the whole loop."""
+    import jax
+
+    # HOST FETCH, not block_until_ready: this relay acks readiness early
+    # (README "known environment limits"); only a device→host copy of the
+    # result bounds the true execution wall-clock.
+    t0 = time.perf_counter()
+    float(jax.device_get(run(x)))
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jax.device_get(run(x)))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label}: {dt * 1e3:.3f} ms/iter "
+          f"({work_per_iter / dt / 1e9:.0f} GB/s eff) "
+          f"[compile+first {t_compile:.1f}s, {iters} iters in one dispatch]",
+          flush=True)
+    return dt
+
+
+def probe_yuv(iters: int) -> None:
+    """Item: Pallas-lane-or-epitaph for the yuv420 staging path (VERDICT r2
+    next-round #9). Measures the XLA yuv420 preprocess against a cast-only
+    speed-of-light proxy on identical bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from asltpu.config import PreprocessConfig
+    from asltpu.ops.preprocess import (
+        preprocess_clip_normalize_only,
+        preprocess_clip_yuv420,
+    )
+    from asltpu.ops.preprocess_pallas import preprocess_clip_yuv420_pallas
+
+    B, T = 32, 16
+    pp = PreprocessConfig(num_frames=T, staging_size=(224, 224),
+                          resize_short=224, host_resize_short=256,
+                          staging_format="yuv420")
+    shape = (B, T, 224 * 3 // 2, 224)
+    in_b = B * T * shape[2] * shape[3]
+    out_b = B * T * 224 * 224 * 3 * 2  # bf16 out
+
+    def make(fn):
+        @jax.jit
+        def run(x):
+            def body(i, acc):
+                xi = x + i.astype(jnp.uint8)  # iteration-dependent input
+                return acc + jnp.sum(fn(xi).astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        return run
+
+    x = jax.jit(lambda: jnp.ones(shape, jnp.uint8))()
+    jax.block_until_ready(x)
+    work = in_b + out_b + out_b  # read in, write out, re-read for the sum
+    dt_yuv = _timed_single_dispatch(
+        make(lambda a: preprocess_clip_yuv420(a, pp)), x,
+        "yuv420 preprocess (XLA)", work, iters)
+    dt_pal = _timed_single_dispatch(
+        make(lambda a: preprocess_clip_yuv420_pallas(a, pp)), x,
+        "yuv420 preprocess (Pallas)", work, iters)
+
+    # Speed-of-light proxy: cast+scale+sum over the SAME input bytes.
+    def sol(a):
+        return (a.astype(jnp.float32) * (1.0 / 255.0)).astype(jnp.bfloat16)
+    sol_work = in_b + in_b * 2 + in_b * 2
+    dt_sol = _timed_single_dispatch(make(sol), x, "cast-only SoL", sol_work,
+                                    iters)
+
+    # RGB thin path (normalize-only) for context: same output bytes.
+    ppr = PreprocessConfig(num_frames=T, staging_size=(224, 224),
+                           resize_short=224, host_resize_short=256,
+                           staging_format="rgb")
+    xr = jax.jit(lambda: jnp.ones((B, T, 224, 224, 3), jnp.uint8))()
+    jax.block_until_ready(xr)
+    rin = B * T * 224 * 224 * 3
+    dt_rgb = _timed_single_dispatch(
+        make(lambda a: preprocess_clip_normalize_only(a, ppr)), xr,
+        "rgb normalize-only", rin + 2 * rin + 2 * rin, iters)
+    print(f"yuv/SoL ratio: {dt_yuv / dt_sol:.2f}   pallas/SoL: "
+          f"{dt_pal / dt_sol:.2f}   pallas speedup: {dt_yuv / dt_pal:.2f}x   "
+          f"clips/s through stage: XLA {B / dt_yuv:.0f} / Pallas "
+          f"{B / dt_pal:.0f}")
+
+
+def probe_backbone(iters: int) -> None:
+    """Item: backbone bandwidth gap (VERDICT r1 #3 / r2 next-round #7):
+    MobileNetV2 fwd on 512×224² bf16 frames — target ≤9.5 ms, round-1
+    measured 13.4 ms (per-RPC timing, suspect)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asltpu.api import load_model
+    from asltpu.models.mobilenetv2 import MobileNetV2
+
+    model = load_model("mobilenet_gru")
+    cfg = model.cfg
+    bb = MobileNetV2(cfg.width_mult, dtype=cfg.compute_jnp_dtype)
+    v_bb = {"params": model.variables["params"]["backbone"]}
+    stats = model.variables.get("batch_stats")
+    if stats:
+        v_bb["batch_stats"] = stats["backbone"]
+    N = 512
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+            feats = bb.apply(v_bb, xi, False)
+            return acc + jnp.sum(feats.astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    x = jax.jit(
+        lambda: jnp.zeros((N, 224, 224, 3), jnp.bfloat16))()
+    jax.block_until_ready(x)
+    gb = 6.27  # measured activation+weight traffic per 512-frame batch (r1)
+    dt = _timed_single_dispatch(run, x, f"mobilenet {N}x224x224 bf16",
+                                gb * 1e9, iters)
+    print(f"  -> {dt * 1e3:.2f} ms / {N} frames "
+          f"(target <=9.5; r1 per-RPC said 13.4); "
+          f"standalone-equivalent {N / dt:.0f} clips/s at T=16 would be "
+          f"{N / 16 / dt:.0f}")
+
+
+def probe_i3d(iters: int) -> None:
+    """Item: I3D contract-shape training steps/s in ANY link state
+    (VERDICT r2 next-round #6): N train steps inside one dispatch via
+    fori_loop over the step function (constant batch; throughput only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asltpu.api import load_model
+    from asltpu.config import TrainConfig
+    from asltpu.train.loop import TrainState, make_optimizer, make_train_step
+
+    model = load_model("i3d")
+    tcfg = TrainConfig(batch_size=1)
+    tx = make_optimizer(tcfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=model.variables["params"],
+        batch_stats=model.variables.get("batch_stats", {}),
+        opt_state=jax.jit(tx.init)(model.variables["params"]),
+        rng=jax.random.PRNGKey(0),
+    )
+    step = make_train_step(model.module, tcfg)
+
+    B, T, S = 1, 64, 224
+    clip = jax.jit(lambda: jnp.zeros((B, T, S, S, 3), jnp.bfloat16))()
+    labels = jax.jit(lambda: jnp.zeros((B,), jnp.int32))()
+    jax.block_until_ready(clip)
+
+    @jax.jit
+    def run(state):
+        def body(i, s):
+            s2, metrics = step(s, clip, labels)
+            return s2
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    # Scalar host fetch (step counter) bounds true wall-clock — this relay
+    # acks block_until_ready early (README "known environment limits").
+    t0 = time.perf_counter()
+    out = run(state)
+    int(jax.device_get(out.step))
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = run(out)
+    int(jax.device_get(out.step))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"i3d train step (B=1, 64f, 224^2, remat): {dt * 1e3:.0f} ms/step "
+          f"= {1 / dt:.2f} steps/s = {B / dt:.2f} clips/s "
+          f"[compile+first {t_compile:.0f}s, {iters} steps in one dispatch]")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("probe", choices=["yuv", "backbone", "i3d"])
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+    iters = args.iters or {"yuv": 50, "backbone": 20, "i3d": 8}[args.probe]
+    {"yuv": probe_yuv, "backbone": probe_backbone, "i3d": probe_i3d}[
+        args.probe](iters)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
