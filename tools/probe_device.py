@@ -12,6 +12,16 @@ so the host fetch is 4 bytes). Wall-clock per iteration =
 (t_call2 / iters): one RPC's latency is amortized over all iterations, so
 the number is valid in ANY relay state.
 
+Two further artifacts these probes neutralize (both measured round 3):
+  - the relay acks ``block_until_ready`` EARLY — a loop that "measured"
+    127 TB/s effective; only a device→host fetch bounds true wall-clock,
+    so every timing here ends in a scalar ``device_get``;
+  - each dispatch carries a fixed ~28 ms round-trip (amortize with enough
+    iters: at 10 iters the apparent floor is ~2.8 ms/iter), and a
+    CPU-contended host (1 CPU here) stretches that round-trip by SECONDS —
+    run probes on an idle host only (a probe run concurrent with the
+    pytest suite read 9.2 s/step for a step that takes 115 ms).
+
 Usage:  python tools/probe_device.py {yuv,backbone,i3d} [--iters N]
 """
 
@@ -188,9 +198,15 @@ def probe_i3d(iters: int) -> None:
     out = run(state)
     int(jax.device_get(out.step))
     t_compile = time.perf_counter() - t0
+    # Warm with the EXACT argument that will be timed: the output state's
+    # pytree differs from the input's in weak types, so `run(out)` would
+    # RETRACE — a first version of this probe timed that recompile and
+    # reported 7.9 s/step for a 115 ms step.
+    out2 = run(out)
+    int(jax.device_get(out2.step))
     t0 = time.perf_counter()
-    out = run(out)
-    int(jax.device_get(out.step))
+    out3 = run(out)
+    int(jax.device_get(out3.step))
     dt = (time.perf_counter() - t0) / iters
     print(f"i3d train step (B=1, 64f, 224^2, remat): {dt * 1e3:.0f} ms/step "
           f"= {1 / dt:.2f} steps/s = {B / dt:.2f} clips/s "
@@ -199,14 +215,70 @@ def probe_i3d(iters: int) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("probe", choices=["yuv", "backbone", "i3d"])
+    ap.add_argument("probe", choices=["yuv", "backbone", "backbone_stages", "i3d"])
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
-    iters = args.iters or {"yuv": 50, "backbone": 20, "i3d": 8}[args.probe]
-    {"yuv": probe_yuv, "backbone": probe_backbone, "i3d": probe_i3d}[
+    iters = args.iters or {"yuv": 50, "backbone": 20, "backbone_stages": 30, "i3d": 8}[args.probe]
+    {"yuv": probe_yuv, "backbone": probe_backbone,
+     "backbone_stages": probe_backbone_stages, "i3d": probe_i3d}[
         args.probe](iters)
     return 0
 
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def probe_backbone_stages(iters: int) -> None:
+    """Attribute the MobileNetV2 512-frame forward (~11-12.6 ms measured)
+    across stages: each stage timed independently at its production shape
+    with fresh params (VERDICT r2 next-round #7 — find where the 9.5 ms
+    target dies before optimizing blindly)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asltpu.models.common import ConvBN, relu6
+    from asltpu.models.mobilenetv2 import InvertedResidual
+
+    N = 512
+    # (label, module, input shape [N,H,W,C])
+    stages = [
+        ("stem 3x3s2 3->32 @224", ConvBN(32, kernel=3, strides=2, act=relu6),
+         (N, 224, 224, 3)),
+        ("block0 t1 32->16 @112", InvertedResidual(16, 1, 1), (N, 112, 112, 32)),
+        ("block1 t6 16->24 s2", InvertedResidual(24, 2, 6), (N, 112, 112, 16)),
+        ("block2 t6 24->24 @56", InvertedResidual(24, 1, 6), (N, 56, 56, 24)),
+        ("block3 t6 24->32 s2", InvertedResidual(32, 2, 6), (N, 56, 56, 24)),
+        ("block4/5 t6 32->32 @28", InvertedResidual(32, 1, 6), (N, 28, 28, 32)),
+        ("block6 t6 32->64 s2", InvertedResidual(64, 2, 6), (N, 28, 28, 32)),
+        ("block7-9 t6 64->64 @14", InvertedResidual(64, 1, 6), (N, 14, 14, 64)),
+        ("block10 t6 64->96 @14", InvertedResidual(96, 1, 6), (N, 14, 14, 64)),
+        ("block11/12 t6 96->96 @14", InvertedResidual(96, 1, 6),
+         (N, 14, 14, 96)),
+        ("block13 t6 96->160 s2", InvertedResidual(160, 2, 6), (N, 14, 14, 96)),
+        ("block14/15 t6 160->160 @7", InvertedResidual(160, 1, 6),
+         (N, 7, 7, 160)),
+        ("block16 t6 160->320 @7", InvertedResidual(320, 1, 6), (N, 7, 7, 160)),
+        ("head 1x1 320->1280 @7", ConvBN(1280, kernel=1, act=relu6),
+         (N, 7, 7, 320)),
+    ]
+    total = 0.0
+    for label, mod, shape in stages:
+        x = jax.jit(lambda shape=shape: jnp.zeros(shape, jnp.bfloat16))()
+        jax.block_until_ready(x)
+        v = mod.init(jax.random.PRNGKey(0), x, False)
+
+        @jax.jit
+        def run(x, v=v, mod=mod):
+            def body(i, acc):
+                xi = x + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+                return acc + jnp.sum(mod.apply(v, xi, False).astype(
+                    jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        in_b = 2 * int(np.prod(shape))
+        dt = _timed_single_dispatch(run, x, label, in_b * 3, iters)
+        total += dt
+    print(f"sum of stages: {total * 1e3:.2f} ms (multiply repeated blocks: "
+          f"+block4/5, +2x block7-9, +block11/12, +block14/15)")
