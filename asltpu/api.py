@@ -131,31 +131,39 @@ class Model:
             if fn is not None:
                 self._predict_jit = fn
                 return fn
+        fn = jax.jit(self.raw_apply_fn())
+        self._predict_jit = fn
+        return fn
+
+    def raw_apply_fn(self):
+        """The full ``(variables, *inputs) -> logits`` inference math
+        UNWRAPPED (no ``jax.jit``): for callers embedding the model inside a
+        LARGER jitted computation — ``lax.fori_loop`` measurement harnesses
+        (``tools/probe_device.py`` pattern: one dispatch amortizes one RPC
+        over N iterations, valid in any relay-link state), custom eval
+        loops, or composition with other on-device stages. Inputs match
+        :meth:`predict_fn` (staged uint8 frames and/or landmarks)."""
         cfg = self.cfg
         module = self.module
         pp: Optional[PreprocessConfig] = getattr(cfg, "preprocess", None)
 
         if isinstance(cfg, PoseBiLSTMConfig):
 
-            @jax.jit
             def fn(variables, landmarks):
                 return module.apply(variables, landmarks, False)
 
         elif isinstance(cfg, TwoStreamFusionConfig):
 
-            @jax.jit
             def fn(variables, frames_u8, landmarks):
                 clip = preprocess_clip(frames_u8, pp)
                 return module.apply(variables, clip, landmarks, False)
 
         else:
 
-            @jax.jit
             def fn(variables, frames_u8):
                 clip = preprocess_clip(frames_u8, pp)
                 return module.apply(variables, clip, False)
 
-        self._predict_jit = fn
         return fn
 
     def split_predict_fn(self):

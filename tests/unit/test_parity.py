@@ -250,6 +250,40 @@ def test_split_predict_matches_fused():
         np.testing.assert_allclose(fused, split, atol=1e-5), name
 
 
+def test_raw_apply_fn_embeds_in_larger_program():
+    """Model.raw_apply_fn is the UNJITTED inference math: it must match
+    predict_fn exactly AND compose inside a larger jitted computation (the
+    fori_loop single-dispatch measurement harness depends on this)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asltpu import api
+
+    model = api.load_model(
+        "mobilenet_gru", num_classes=5, gru_hidden=16,
+        preprocess={"num_frames": 3, "staging_size": (48, 48),
+                    "resize_short": 40, "crop": 32},
+    )
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (2, 3, 48, 48, 3), np.uint8)
+    raw = model.raw_apply_fn()
+    direct = np.asarray(model.predict_fn()(model.variables, frames))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(raw)(model.variables, frames)), direct, atol=1e-6)
+
+    @jax.jit
+    def looped(variables, x):
+        def body(i, acc):
+            return acc + raw(variables, x).astype(jnp.float32)
+        return jax.lax.fori_loop(0, 3, body,
+                                 jnp.zeros((2, 5), jnp.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(looped(model.variables, frames)),
+        3.0 * direct.astype(np.float32), rtol=2e-5)
+
+
 def test_init_spatial_reduction_shape_invariant():
     """init_variables uses a 32² spatial dummy (fast eager CPU init); the
     parameter tree must be shape-identical to a full-resolution init for
