@@ -34,7 +34,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def _timed_single_dispatch(run, x, label, work_per_iter, iters):
+def _timed_single_dispatch(run, x, label, work_per_iter, iters,
+                           extra_args=()):
     """Compile+run once (untimed), then time ONE dispatch of the whole loop."""
     import jax
 
@@ -42,10 +43,10 @@ def _timed_single_dispatch(run, x, label, work_per_iter, iters):
     # (README "known environment limits"); only a device→host copy of the
     # result bounds the true execution wall-clock.
     t0 = time.perf_counter()
-    float(jax.device_get(run(x)))
+    float(jax.device_get(run(x, *extra_args)))
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(jax.device_get(run(x)))
+    float(jax.device_get(run(x, *extra_args)))
     dt = (time.perf_counter() - t0) / iters
     print(f"{label}: {dt * 1e3:.3f} ms/iter "
           f"({work_per_iter / dt / 1e9:.0f} GB/s eff) "
@@ -213,21 +214,6 @@ def probe_i3d(iters: int) -> None:
           f"[compile+first {t_compile:.0f}s, {iters} steps in one dispatch]")
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("probe", choices=["yuv", "backbone", "backbone_stages", "i3d"])
-    ap.add_argument("--iters", type=int, default=None)
-    args = ap.parse_args()
-    iters = args.iters or {"yuv": 50, "backbone": 20, "backbone_stages": 30, "i3d": 8}[args.probe]
-    {"yuv": probe_yuv, "backbone": probe_backbone,
-     "backbone_stages": probe_backbone_stages, "i3d": probe_i3d}[
-        args.probe](iters)
-    return 0
-
-
-if __name__ == "__main__":
-    sys.exit(main())
-
 
 def probe_backbone_stages(iters: int) -> None:
     """Attribute the MobileNetV2 512-frame forward (~11-12.6 ms measured)
@@ -282,3 +268,82 @@ def probe_backbone_stages(iters: int) -> None:
         total += dt
     print(f"sum of stages: {total * 1e3:.2f} ms (multiply repeated blocks: "
           f"+block4/5, +2x block7-9, +block11/12, +block14/15)")
+
+
+def probe_int8(iters: int) -> None:
+    """Last angle of the backbone-bandwidth item (VERDICT r2 next-round #7):
+    would an int8 1×1-conv path help? The backbone's pointwise convs are
+    [N·H·W, Cin]×[Cin, Cout] matmuls; int8 halves their operand bytes and
+    the v5e MXU peaks 2× bf16 on int8. Each production matmul shape is
+    timed bf16 vs int8 (``preferred_element_type=int32``) in one dispatch.
+
+    MEASURED NEGATIVE (2026-08-17, healthy window, 30 iters/dispatch):
+    only the 56² project 144->24 shape gains (1.71 -> 1.43 ms, 1.2×);
+    56² expand 24->144 is SLOWER in int8 (1.38 -> 1.44 ms) and the four
+    smaller shapes are within noise (1.1-1.3 ms both dtypes — a
+    per-matmul floor, not operand bandwidth). Effective bandwidth tops
+    out ~390 GB/s bf16 on the largest shape and HALVES in int8 (same
+    wall-clock, half the bytes), i.e. these small-K matmuls are
+    fusion/occupancy-bound, not HBM- or MXU-bound — halving operand
+    bytes buys nothing, so no int8 inference path is built (would also
+    cost a quantization accuracy study). See mobilenetv2.py docstring
+    for the item's full closure."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # (label, M=N*H*W, K=Cin, N=Cout) — the dominant pointwise convs at the
+    # production 512-frame batch (from probe_backbone_stages attribution).
+    shapes = [
+        ("56² expand 24->144", 512 * 56 * 56, 24, 144),
+        ("56² project 144->24", 512 * 56 * 56, 144, 24),
+        ("28² expand 32->192", 512 * 28 * 28, 32, 192),
+        ("14² expand 96->576", 512 * 14 * 14, 96, 576),
+        ("7² expand 160->960", 512 * 7 * 7, 160, 960),
+        ("head 320->1280", 512 * 7 * 7, 320, 1280),
+    ]
+    dn = (((1,), (0,)), ((), ()))
+    for label, m, k, n in shapes:
+        for dtype, acc_t in ((jnp.bfloat16, jnp.float32),
+                             (jnp.int8, jnp.int32)):
+
+            def make(dtype=dtype, acc_t=acc_t, m=m, k=k, n=n):
+                @jax.jit
+                def run(x, w):
+                    def body(i, acc):
+                        xi = x + i.astype(dtype)  # no hoisting
+                        y = jax.lax.dot_general(
+                            xi, w, dn, preferred_element_type=acc_t)
+                        return acc + jnp.sum(y.astype(jnp.float32))
+                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+                return run
+
+            x = jax.jit(lambda m=m, k=k, dtype=dtype:
+                        jnp.ones((m, k), dtype))()
+            w = jax.jit(lambda k=k, n=n, dtype=dtype:
+                        jnp.ones((k, n), dtype))()
+            jax.block_until_ready((x, w))
+            itemsize = np.dtype(
+                "int8" if dtype == jnp.int8 else "bfloat16").itemsize
+            work = (m * k + k * n + m * n) * itemsize
+            _timed_single_dispatch(
+                make(), x, f"{label} [{np.dtype('int8').name if dtype == jnp.int8 else 'bf16'}] {m}x{k}x{n}",
+                work, iters, extra_args=(w,))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("probe", choices=["yuv", "backbone", "backbone_stages",
+                                      "i3d", "int8"])
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+    iters = args.iters or {"yuv": 50, "backbone": 20, "backbone_stages": 30,
+                           "i3d": 8, "int8": 30}[args.probe]
+    {"yuv": probe_yuv, "backbone": probe_backbone,
+     "backbone_stages": probe_backbone_stages, "i3d": probe_i3d,
+     "int8": probe_int8}[args.probe](iters)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
