@@ -491,6 +491,7 @@ def stream_predict(
     batch_size: int = 8,
     num_decode_workers: int = 4,
     decode_backend: str = "auto",
+    decode_fast: bool = False,
     landmarks_for: Optional[Any] = None,
     gloss_names: Optional[Sequence[str]] = None,
     prefetch_depth: int = 2,
@@ -503,6 +504,13 @@ def stream_predict(
 
     ``landmarks_for``: optional callable path → [T,543,3] landmarks, required
     for landmark-consuming models.
+
+    ``decode_fast=True`` (with ``decode_backend="av"``) enables the
+    codec-level work-reduction modes (DCT-domain reduced-resolution
+    decode, loop-filter/non-reference-frame skip — see
+    asltpu/native/decode_av.cpp). Approximate decode: pixels differ
+    slightly from the exact path by codec design; predictions are
+    tolerance-stable (tests/unit/test_decode_av.py).
 
     ``yield_items=True`` yields the ORIGINAL item (e.g. the ClipRecord)
     instead of its display path — required when two records share a source
@@ -579,8 +587,19 @@ def stream_predict(
     # to GIL contention (measured round 2; see data/decode.py).
     from asltpu.data.decode import make_decode_pool
 
+    fast_flags = 0
+    if decode_fast:
+        if decode_backend != "av":
+            raise ValueError(
+                "decode_fast requires decode_backend='av' (codec-level "
+                "fast modes live in the libavcodec backend)"
+            )
+        from asltpu import native as _native
+
+        fast_flags = (_native.FAST_LOWRES | _native.FAST_SKIP_LOOP_FILTER
+                      | _native.FAST_SKIP_NONREF)
     pool = make_decode_pool(pp, num_workers=num_decode_workers,
-                            backend=decode_backend)
+                            backend=decode_backend, fast_flags=fast_flags)
 
     def host_batches():
         for frames, kept in pool.map_batches(items, batch_size, on_error):

@@ -38,6 +38,11 @@ Wire format: staged frames default to packed I420 (``--staging-format
 yuv420``) — half the host→device bytes of RGB; the device converts
 (BT.601, validated against the cv2 oracle in tests/unit/test_preprocess.py).
 ``--staging-format rgb`` measures the bit-parity staging instead.
+
+Decode backend: in ``auto`` mode the two native decoders (OpenCV-exact and
+libavcodec direct-YUV) are BOTH measured on fresh 256² files and the main
+stream runs on the faster one; both rates land in the JSON
+(``decode_sel_*``) and ``decode_backend`` names the pick.
 """
 
 from __future__ import annotations
@@ -133,6 +138,25 @@ def _exec_single_dispatch_cps(model, batch, iters=10):
     float(jax.device_get(run(model.variables, x)))
     cps = iters * batch / (time.perf_counter() - t0)
     return round(cps, 2), compile_s
+
+
+def _decode_rate(pp, batch, workers, backend, bpaths, flags=0):
+    """Decode-only clips/s of one backend over fresh files (host-only; no
+    link traffic). Returns None when the backend can't be built/loaded."""
+    from asltpu.data.decode import make_decode_pool
+
+    try:
+        p = make_decode_pool(pp, num_workers=workers, backend=backend,
+                             fast_flags=flags)
+    except Exception:
+        return None
+    t0 = time.perf_counter()
+    n = 0
+    for _, kept in p.map_batches(bpaths, batch):
+        n += len(kept)
+    rate = n / (time.perf_counter() - t0)
+    p.shutdown()
+    return round(rate, 2)
 
 
 def _make_corpus(tmp, prefix, n, size, seed0):
@@ -310,8 +334,29 @@ def main() -> int:
     # transfer with an in-flight execute wedges this host's relay (RPCs
     # stall for minutes), while the serialized loop sustains ~850 clips/s
     # device-side — decode is then the only bottleneck.
+    # Main-pool backend selection (auto mode): measure BOTH native decoders
+    # on fresh 256² files (host-only, zero link bytes) and run the stream on
+    # the faster one. Both rates are reported so the choice is auditable.
+    # The av backend is tolerance-parity (not byte-exact; cv2 remains the
+    # strict-parity default everywhere else) — acceptable for the
+    # throughput bench, and the JSON's decode_backend field names the pick.
+    sel = {}
+    main_backend = args.decode_backend
+    if args.decode_backend == "auto":
+        r_cv = _decode_rate(
+            pp, min(args.batch, 8), args.decode_workers, "native",
+            _make_corpus(tmp, "selcv", 16, (256, 256), 7000))
+        r_avx = _decode_rate(
+            pp, min(args.batch, 8), args.decode_workers, "av",
+            _make_corpus(tmp, "selav", 16, (256, 256), 7500))
+        sel["decode_sel_native_clips_per_sec"] = r_cv
+        sel["decode_sel_av_clips_per_sec"] = r_avx
+        if r_avx is not None and (r_cv is None or r_avx > r_cv):
+            main_backend = "av"
+        elif r_cv is not None:
+            main_backend = "native"
     pool = make_decode_pool(pp, num_workers=args.decode_workers,
-                            backend=args.decode_backend,
+                            backend=main_backend,
                             fast_flags=fast_flags)
 
     # Untimed warmup pass: absorbs pool spin-up and the relay's
@@ -345,11 +390,45 @@ def main() -> int:
     # attempts are reported, and the retry's result stands whatever it is —
     # this rejects a provably-inconsistent sample, it does not fish for a
     # fast one.
-    if win_rates and args.link_settle and e2e_cps < 0.5 * max(win_rates):
+    # Second trigger (added after a run this criterion missed): UNIFORM
+    # starvation. A hypervisor episode lasting the whole stream makes every
+    # window equally slow — windows agree, so the bimodal test passes — but
+    # the same-run backend-selection probe is an absolute reference for what
+    # this very pool sustained minutes earlier on this host. An e2e below
+    # 0.3× that decode capability (healthy runs sit at 0.7-1.0×) is evidence
+    # of transient host state, not of the pipeline (observed: sel_av=100
+    # clips/s, e2e windows 3.6/4.3 — a ~25× uniform collapse).
+    sel_best = max(
+        (r for r in sel.values() if isinstance(r, (int, float))),
+        default=None,
+    )
+    bimodal = win_rates and e2e_cps < 0.5 * max(win_rates)
+    starved = sel_best and win_rates and e2e_cps < 0.3 * sel_best
+    if args.link_settle and (bimodal or starved):
         retried["e2e_first_attempt_windows"] = win_rates
         retried["e2e_first_attempt_link_mbps"] = round(_probe_link_mbps(), 1)
+        retried["e2e_retry_trigger"] = (
+            "bimodal_windows" if bimodal else "uniform_starvation")
         retried["e2e_retry_settle"] = _wait_link_healthy(
             min(args.link_settle, 240.0))
+        # A starvation episode can outlast the link settle (the two budgets
+        # are independent: relay transfer vs hypervisor CPU). Wait, bounded,
+        # for the HOST to recover too — probe with the same pool on fresh
+        # files (repeat decodes run ~2.4× faster and would fake recovery)
+        # until it again sustains ≥0.5× its own selection-probe rate.
+        if starved:
+            t_cpu = time.perf_counter()
+            seed, rate = 20000, 0.0
+            while time.perf_counter() - t_cpu < 150.0:
+                probe = _make_corpus(tmp, f"cpu{seed}_", 8, (256, 256), seed)
+                seed += 8
+                tp = time.perf_counter()
+                n = sum(len(k) for _, k in pool.map_batches(probe, 8))
+                rate = n / (time.perf_counter() - tp)
+                if rate >= 0.5 * sel_best:
+                    break
+                time.sleep(20)
+            retried["e2e_retry_cpu_probe_clips_per_sec"] = round(rate, 2)
         corpus2 = _make_corpus(tmp, "retry", args.clips, (256, 256), 9000)
         win_rates, e2e_overall, dev_pipeline_cps, win_detail = (
             _stream_e2e(pool, fn, model.variables, corpus2, args.batch,
@@ -387,39 +466,36 @@ def main() -> int:
         # cost). Decode-only is measured for each available backend so the
         # work-reduction levers (direct-YUV staging, lowres, filter skip)
         # are visible side by side.
-        def _decode_rate(backend, bpaths, flags=0):
-            try:
-                p4 = make_decode_pool(pp, num_workers=args.decode_workers,
-                                      backend=backend, fast_flags=flags)
-            except Exception:
-                return None
-            t0 = time.perf_counter()
-            n = 0
-            for _, kept in p4.map_batches(bpaths, args.batch):
-                n += len(kept)
-            rate = n / (time.perf_counter() - t0)
-            p4.shutdown()
-            return round(rate, 2)
-
         paths480_a = _make_corpus(tmp, "c480a_", 32, (480, 640), 100)
         paths480_b = _make_corpus(tmp, "c480b_", 32, (480, 640), 2000)
         paths480_c = _make_corpus(tmp, "c480c_", 32, (480, 640), 3000)
         paths480_d = _make_corpus(tmp, "c480d_", 48, (480, 640), 4000)
         realistic["decode_only_480p_clips_per_sec"] = _decode_rate(
+            pp, args.batch, args.decode_workers,
             "native" if args.decode_backend == "auto" else args.decode_backend,
             paths480_a)
-        r_av = _decode_rate("av", paths480_b)
+        r_av = _decode_rate(pp, args.batch, args.decode_workers, "av",
+                            paths480_b)
         if r_av is not None:
             realistic["decode_only_480p_av_clips_per_sec"] = r_av
         from asltpu import native as _nat
 
         r_av_fast = _decode_rate(
-            "av", paths480_c,
+            pp, args.batch, args.decode_workers, "av", paths480_c,
             _nat.FAST_LOWRES | _nat.FAST_SKIP_LOOP_FILTER
             | _nat.FAST_SKIP_NONREF)
         if r_av_fast is not None:
             realistic["decode_only_480p_av_fast_clips_per_sec"] = r_av_fast
         # Full pipeline at 480p: best available backend (exact mode).
+        # The headline e2e just spent the relay's global fast-transfer
+        # budget (~300 MB) — without a settle this stream measures the
+        # drained link (~10-30 MB/s against 1.2 MB/clip), not the 480p
+        # pipeline (the r02-era figure of ~10 clips/s was exactly that).
+        # Bounded settle + window detail make the state auditable.
+        if args.link_settle:
+            rset = _wait_link_healthy(min(args.link_settle, 150.0))
+            realistic["e2e_realistic_settle_s"] = rset["link_settle_s"]
+            realistic["e2e_realistic_link_mbps"] = rset["link_mbps"]
         be_order = (["av", "native", "auto"]
                     if r_av is not None else ["native", "auto"])
         for be in be_order:
@@ -429,10 +505,12 @@ def main() -> int:
                 break
             except Exception:
                 continue
-        rr, r_overall, _, _ = _stream_e2e(
-            p480, fn, model.variables, paths480_d, args.batch, n_windows=1)
+        rr, r_overall, _, rdet = _stream_e2e(
+            p480, fn, model.variables, paths480_d, args.batch, n_windows=2)
         p480.shutdown()
-        realistic["e2e_realistic_clips_per_sec"] = rr[0] if rr else 0.0
+        realistic["e2e_realistic_clips_per_sec"] = round(r_overall, 2)
+        realistic["e2e_realistic_windows"] = rr
+        realistic["e2e_realistic_detail"] = rdet
         realistic["e2e_realistic_backend"] = type(p480).__name__ + (
             ":av" if getattr(p480, "lib", "") == "av" else "")
         # Same pipeline with the codec-level fast modes (lowres + filter
@@ -447,11 +525,16 @@ def main() -> int:
                 pp, num_workers=args.decode_workers, backend="av",
                 fast_flags=(_natf.FAST_LOWRES | _natf.FAST_SKIP_LOOP_FILTER
                             | _natf.FAST_SKIP_NONREF))
-            rrf, _, _, _ = _stream_e2e(
-                pf, fn, model.variables, paths480_e, args.batch, n_windows=1)
+            if args.link_settle:
+                fset = _wait_link_healthy(min(args.link_settle, 120.0))
+                realistic["e2e_realistic_fast_link_mbps"] = fset["link_mbps"]
+            rrf, rf_overall, _, rfdet = _stream_e2e(
+                pf, fn, model.variables, paths480_e, args.batch, n_windows=2)
             pf.shutdown()
-            realistic["e2e_realistic_fast_clips_per_sec"] = (
-                rrf[0] if rrf else 0.0)
+            realistic["e2e_realistic_fast_clips_per_sec"] = round(
+                rf_overall, 2)
+            realistic["e2e_realistic_fast_windows"] = rrf
+            realistic["e2e_realistic_fast_detail"] = rfdet
 
     # ---- standalone device loop (r01 definition; upper bound) -----------
     # Runs AFTER e2e: its execution pattern (exec-only on resident input)
@@ -547,6 +630,7 @@ def main() -> int:
         ),
         "platform": jax.devices()[0].platform,
         **link,
+        **sel,
         **retried,
         **realistic,
         **contract,

@@ -105,6 +105,7 @@ def cmd_predict(args) -> int:
         model, args.clips, batch_size=args.batch, gloss_names=gloss_names,
         landmarks_for=landmarks_for, skip_errors=args.skip_errors,
         decode_backend=args.decode_backend,
+        decode_fast=args.decode_fast,
     ):
         print(json.dumps({
             "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
@@ -379,6 +380,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    choices=["auto", "native", "av", "process", "thread"],
                    help="decode pool backend; 'av' = direct libavcodec "
                         "(fastest on >=480p sources, tolerance-parity)")
+    p.add_argument("--decode-fast", action="store_true",
+                   help="codec-level work reduction (av backend only): "
+                        "DCT-domain reduced-res decode + loop-filter/"
+                        "nonref skip; approximate decode")
     _add_model_args(p)
     p.add_argument("clips", nargs="+")
     p.add_argument("--batch", type=int, default=8)

@@ -132,3 +132,31 @@ def test_auto_never_selects_av():
     pool = make_decode_pool(PP_RGB, backend="auto")
     assert getattr(pool, "lib", "opencv") == "opencv"
     pool.shutdown()
+
+
+def test_stream_predict_decode_fast(tiny_wlasl):
+    """decode_fast plumbs the codec-level fast modes through the PUBLIC
+    streaming API (stream_predict / `asl predict --decode-fast`): logits
+    stay tolerance-close to the exact av path, and the flag fail-fasts on
+    backends that have no codec-level modes."""
+    from asltpu import api
+
+    index, videos = tiny_wlasl
+    paths = [r.path for r in
+             WLASLIndex(index, videos, subset=6).split("train")[:3]]
+    model = api.load_model(
+        "mobilenet_gru", num_classes=6, gru_hidden=32,
+        preprocess={"num_frames": 4, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
+    )
+    exact = {p: lg for p, _, lg in api.stream_predict(
+        model, paths, batch_size=2, decode_backend="av")}
+    fast = {p: lg for p, _, lg in api.stream_predict(
+        model, paths, batch_size=2, decode_backend="av", decode_fast=True)}
+    assert set(fast) == set(exact) == set(paths)
+    for p in paths:
+        np.testing.assert_allclose(fast[p], exact[p], atol=0.1)
+
+    with pytest.raises(ValueError, match="decode_fast"):
+        next(iter(api.stream_predict(
+            model, paths, batch_size=2, decode_fast=True)))
