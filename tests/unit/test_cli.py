@@ -111,3 +111,33 @@ def test_cli_train_fails_fast_when_underfull(tmp_path, tiny_wlasl_module):
             "--ckpt-dir", str(tmp_path / "ck"),
             "--frames", "2", "--crop", "32", "--no-augment",
         ])
+
+
+def test_cli_predict_decode_fast(capsys, tiny_wlasl_module):
+    """`asl predict --decode-backend av --decode-fast` drives the
+    codec-level fast-decode lane through the CLI; --decode-fast without
+    the av backend fails fast (the flag has no meaning elsewhere)."""
+    from asltpu import native
+
+    if not native.av_available():
+        pytest.skip(f"native av decode: {native.av_unavailable_reason()}")
+    index, videos = tiny_wlasl_module
+    from asltpu.data.wlasl import WLASLIndex
+
+    recs = WLASLIndex(index, videos, subset=6).split("train")[:2]
+    small = ["--set", "gru_hidden=16", "--set", "preprocess.num_frames=2",
+             "--set", "preprocess.staging_size=(48,48)",
+             "--set", "preprocess.resize_short=40",
+             "--set", "preprocess.crop=32"]
+    rc, rows = _run(capsys, [
+        "predict", recs[0].path, recs[1].path,
+        "--model", "mobilenet_gru", "--num-classes", "6", "--batch", "2",
+        "--decode-backend", "av", "--decode-fast", *small,
+    ])
+    assert rc == 0 and len(rows) == 2
+    with pytest.raises(ValueError, match="decode_fast"):
+        main([
+            "predict", recs[0].path,
+            "--model", "mobilenet_gru", "--num-classes", "6",
+            "--decode-fast", *small,
+        ])
