@@ -1,0 +1,56 @@
+"""Unit tests for the bench harness's host-independent logic (C18).
+
+The measurement paths themselves are TPU-gated (tests/bench/); what's
+tested here is the poisoned-sample classifier that decides whether an
+e2e sample is evidence about the PIPELINE or about transient host state
+(relay mid-refill / hypervisor CPU-starvation — README env-limits §3)."""
+
+from asltpu.benchmark import poisoned_sample
+
+
+def test_healthy_sample_stands():
+    # Windows agree and sit near the pool's demonstrated decode rate.
+    assert poisoned_sample([90.0, 100.0, 95.0], 95.0,
+                           {"decode_sel_av_clips_per_sec": 110.0}) is None
+
+
+def test_bimodal_windows_detected():
+    # One fast window, median collapsed: part of the stream was poisoned
+    # (the observed r02 pattern: 5.3/5.7/118.9 clips/s).
+    assert poisoned_sample([5.3, 5.7, 118.9], 5.7, {}) == "bimodal_windows"
+
+
+def test_uniform_starvation_detected():
+    # Windows agree with each other (bimodal test passes) but the whole
+    # stream ran ~25x below the same pool's selection-probe rate (the
+    # observed sel_av=100, windows 3.6/4.3 collapse).
+    assert poisoned_sample(
+        [3.6, 4.3], 3.95, {"decode_sel_av_clips_per_sec": 100.0}
+    ) == "uniform_starvation"
+
+
+def test_uniform_slow_without_reference_stands():
+    # No selection probe (explicit --decode-backend): a uniformly slow
+    # stream cannot be PROVEN poisoned, so it stands.
+    assert poisoned_sample([3.6, 4.3], 3.95, {}) is None
+
+
+def test_none_selection_rates_ignored():
+    # A backend whose build failed reports None — must not break or count.
+    assert poisoned_sample(
+        [3.6, 4.3], 3.95,
+        {"decode_sel_av_clips_per_sec": None,
+         "decode_sel_native_clips_per_sec": 100.0},
+    ) == "uniform_starvation"
+
+
+def test_empty_windows_stand():
+    assert poisoned_sample([], 0.0, {"decode_sel_av_clips_per_sec": 100.0}) \
+        is None
+
+
+def test_e2e_above_reference_never_poisoned():
+    # e2e can legitimately sit at ~0.7-1.3x the selection rate (the probe
+    # is a small cold sample); only a deep collapse triggers.
+    assert poisoned_sample([40.0, 45.0, 42.0], 42.0,
+                           {"decode_sel_av_clips_per_sec": 100.0}) is None

@@ -22,7 +22,8 @@ Two further artifacts these probes neutralize (both measured round 3):
     run probes on an idle host only (a probe run concurrent with the
     pytest suite read 9.2 s/step for a step that takes 115 ms).
 
-Usage:  python tools/probe_device.py {yuv,backbone,i3d} [--iters N]
+Usage:  python tools/probe_device.py
+        {yuv,backbone,backbone_stages,i3d,int8} [--iters N]
 """
 
 from __future__ import annotations
