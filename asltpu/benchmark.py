@@ -159,6 +159,36 @@ def _decode_rate(pp, batch, workers, backend, bpaths, flags=0):
     return round(rate, 2)
 
 
+def poisoned_sample(win_rates, e2e_cps, sel):
+    """Classify an e2e sample as provably poisoned by transient host state,
+    or None if it stands. Two measured poisoning modes (README "known
+    environment limits"):
+
+    - ``"bimodal_windows"``: the windows of one uniform stream disagree
+      wildly (median < half the best window) — a mid-refill relay link or
+      a starvation episode hit PART of the stream;
+    - ``"uniform_starvation"``: every window is equally slow, but the
+      same-run backend-selection probe (``sel``) shows this very pool
+      sustained ≥3.3× more minutes earlier — a hypervisor CPU episode
+      covered the WHOLE stream (healthy runs sit at 0.7-1.0× the decode
+      capability; the observed collapse was ~25×).
+
+    The caller retries ONCE on a fresh corpus and reports BOTH attempts —
+    this rejects a provably-inconsistent sample, it does not fish for a
+    fast one."""
+    if not win_rates:
+        return None
+    if e2e_cps < 0.5 * max(win_rates):
+        return "bimodal_windows"
+    sel_best = max(
+        (r for r in sel.values() if isinstance(r, (int, float))),
+        default=None,
+    )
+    if sel_best and e2e_cps < 0.3 * sel_best:
+        return "uniform_starvation"
+    return None
+
+
 def _make_corpus(tmp, prefix, n, size, seed0):
     """n DISTINCT fresh files: repeat decodes of a file run ~2.4× faster on
     this host, so a reused corpus would overstate the honest (cold,
@@ -377,38 +407,19 @@ def main() -> int:
                         n_windows=args.windows))
     e2e_cps = statistics.median(win_rates) if win_rates else 0.0
     retried = {}
-    # Poisoned-run retry. Two transient host states poison a stream and are
-    # both measured facts of this environment (README "known environment
-    # limits"): a mid-refill relay link (a run whose settle probe read a
-    # marginal 203 MB/s streamed 5.3/5.7/118.9 clips/s windows — it measured
-    # the RELAY) and hypervisor CPU-starvation episodes (up to 20×
-    # minute-to-minute; a healthy-link run streamed 4.8/3.1/39.2 windows —
-    # it measured the HYPERVISOR). Criterion: the windows of one uniform
-    # stream disagree wildly (median < half the best window) — evidence the
-    # sample is of transient host state, not the pipeline. One retry, on a
-    # FRESH corpus (cold-decode honesty), after a bounded re-settle; BOTH
-    # attempts are reported, and the retry's result stands whatever it is —
-    # this rejects a provably-inconsistent sample, it does not fish for a
-    # fast one.
-    # Second trigger (added after a run this criterion missed): UNIFORM
-    # starvation. A hypervisor episode lasting the whole stream makes every
-    # window equally slow — windows agree, so the bimodal test passes — but
-    # the same-run backend-selection probe is an absolute reference for what
-    # this very pool sustained minutes earlier on this host. An e2e below
-    # 0.3× that decode capability (healthy runs sit at 0.7-1.0×) is evidence
-    # of transient host state, not of the pipeline (observed: sel_av=100
-    # clips/s, e2e windows 3.6/4.3 — a ~25× uniform collapse).
+    # Poisoned-run retry: see poisoned_sample for the two measured
+    # poisoning modes and the retry contract (one retry, fresh corpus,
+    # both attempts reported, the retry's result stands whatever it is).
+    retry_trigger = poisoned_sample(win_rates, e2e_cps, sel)
+    starved = retry_trigger == "uniform_starvation"
     sel_best = max(
         (r for r in sel.values() if isinstance(r, (int, float))),
         default=None,
     )
-    bimodal = win_rates and e2e_cps < 0.5 * max(win_rates)
-    starved = sel_best and win_rates and e2e_cps < 0.3 * sel_best
-    if args.link_settle and (bimodal or starved):
+    if args.link_settle and retry_trigger:
         retried["e2e_first_attempt_windows"] = win_rates
         retried["e2e_first_attempt_link_mbps"] = round(_probe_link_mbps(), 1)
-        retried["e2e_retry_trigger"] = (
-            "bimodal_windows" if bimodal else "uniform_starvation")
+        retried["e2e_retry_trigger"] = retry_trigger
         retried["e2e_retry_settle"] = _wait_link_healthy(
             min(args.link_settle, 240.0))
         # A starvation episode can outlast the link settle (the two budgets
