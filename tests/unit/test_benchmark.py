@@ -54,3 +54,35 @@ def test_e2e_above_reference_never_poisoned():
     # is a small cold sample); only a deep collapse triggers.
     assert poisoned_sample([40.0, 45.0, 42.0], 42.0,
                            {"decode_sel_av_clips_per_sec": 100.0}) is None
+
+
+def test_stream_e2e_window_accounting():
+    """_stream_e2e cuts one continuous stream into contiguous windows at
+    batch granularity: clip counts must sum to the corpus, window 0 must
+    carry the fill bubble (its span starts at stream start), and the
+    device-seconds split must be <= each window's wall seconds."""
+    import numpy as np
+
+    from asltpu.benchmark import _stream_e2e
+
+    class FakePool:
+        def map_batches(self, paths, batch):
+            for i in range(0, len(paths), batch):
+                n = min(batch, len(paths) - i)
+                yield (np.zeros((batch, 2, 8, 8, 3), np.uint8),
+                       list(range(i, i + n)))
+
+    def fn(variables, frames):
+        return frames.sum()  # cheap; jax.block_until_ready accepts arrays
+
+    rates, overall, dev_cps, detail = _stream_e2e(
+        FakePool(), fn, None, [f"c{i}" for i in range(20)], 8, n_windows=3)
+    assert len(rates) == 3 == len(detail)
+    assert sum(d["clips"] for d in detail) == 20
+    assert all(d["device_seconds"] <= d["seconds"] + 1e-6 for d in detail)
+    assert overall > 0 and dev_cps > 0
+    # Degenerate cases: empty corpus, fewer batches than windows.
+    assert _stream_e2e(FakePool(), fn, None, [], 8) == ([], 0.0, 0.0, [])
+    rates1, _, _, detail1 = _stream_e2e(
+        FakePool(), fn, None, ["a", "b"], 8, n_windows=3)
+    assert len(rates1) == 1 and detail1[0]["clips"] == 2
