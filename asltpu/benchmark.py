@@ -333,6 +333,13 @@ def main() -> int:
 
     fast_flags = 0
     if args.decode_fast:
+        # Codec-level fast modes live in the libav backend only (same
+        # fail-fast as api.stream_predict): auto implies av, anything
+        # else is a contradiction.
+        if args.decode_backend == "auto":
+            args.decode_backend = "av"
+        elif args.decode_backend != "av":
+            ap.error("--decode-fast requires --decode-backend av")
         from asltpu import native as _native
 
         fast_flags = (_native.FAST_LOWRES | _native.FAST_SKIP_LOOP_FILTER

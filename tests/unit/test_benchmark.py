@@ -86,3 +86,23 @@ def test_stream_e2e_window_accounting():
     rates1, _, _, detail1 = _stream_e2e(
         FakePool(), fn, None, ["a", "b"], 8, n_windows=3)
     assert len(rates1) == 1 and detail1[0]["clips"] == 2
+
+
+def test_bench_decode_fast_requires_av(capsys):
+    """`bench --decode-fast` forces/validates the av backend (same
+    fail-fast as api.stream_predict) — argparse errors exit(2) when an
+    incompatible backend is named explicitly."""
+    import sys
+
+    import pytest
+
+    from asltpu import benchmark
+
+    argv = sys.argv
+    try:
+        sys.argv = ["bench", "--decode-fast", "--decode-backend", "native"]
+        with pytest.raises(SystemExit) as e:
+            benchmark.main()
+        assert e.value.code == 2
+    finally:
+        sys.argv = argv
