@@ -219,6 +219,35 @@ int stage_frame(DecoderState* st, int hs, int ws, int host_resize_short,
   }
   AVPixelFormat dst_fmt = yuv420 ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_RGB24;
   AVPixelFormat src_fmt = static_cast<AVPixelFormat>(f->format);
+  if (yuv420 && src_fmt == AV_PIX_FMT_YUV420P && rh == ch && rw == cw) {
+    // No-op resample: the (bbox-cropped) decoded frame is already exactly
+    // the resize-plan size in the output pixel format (the 256²-source
+    // headline corpus with host_resize_short=256 lands here for every
+    // frame). A same-size same-format sws_scale is a plane copy — skip it
+    // and crop the decoder's planes straight into the packed I420 output
+    // (byte-identical to the sws pass it replaces; saves one full-frame
+    // copy + one crop copy per sampled frame).
+    int y0 = ((rh - hs) / 2) & ~1;
+    int x0 = ((rw - ws) / 2) & ~1;
+    uint8_t* oy = out;
+    for (int r = 0; r < hs; ++r) {
+      std::memcpy(oy + (size_t)r * ws,
+                  src_data[0] + (size_t)(y0 + r) * src_lines[0] + x0, ws);
+    }
+    uint8_t* ou = out + (size_t)hs * ws;
+    for (int r = 0; r < hs / 2; ++r) {
+      std::memcpy(ou + (size_t)r * (ws / 2),
+                  src_data[1] + (size_t)(y0 / 2 + r) * src_lines[1] + x0 / 2,
+                  ws / 2);
+    }
+    uint8_t* ov = ou + (size_t)(hs / 2) * (ws / 2);
+    for (int r = 0; r < hs / 2; ++r) {
+      std::memcpy(ov + (size_t)r * (ws / 2),
+                  src_data[2] + (size_t)(y0 / 2 + r) * src_lines[2] + x0 / 2,
+                  ws / 2);
+    }
+    return 0;
+  }
   if (st->sws == nullptr || st->sws_src_w != cw || st->sws_src_h != ch ||
       st->sws_dst_w != rw || st->sws_dst_h != rh ||
       st->sws_src_fmt != src_fmt || st->sws_dst_fmt != dst_fmt) {

@@ -27,13 +27,19 @@ pytestmark = pytest.mark.skipif(
 PP_RGB = PreprocessConfig(num_frames=4, staging_size=(64, 64))
 PP_YUV = PreprocessConfig(num_frames=4, staging_size=(64, 64),
                           host_resize_short=72, staging_format="yuv420")
+# host_resize_short == the fixture videos' short side (96): the resize plan
+# is the identity, so staging takes decode_av.cpp's no-op fast path (direct
+# plane crop, no swscale) — the headline-bench configuration in miniature.
+PP_YUV_NOOP = PreprocessConfig(num_frames=4, staging_size=(64, 64),
+                               host_resize_short=96, staging_format="yuv420")
 
 
 def _mad(a, b):
     return float(np.mean(np.abs(a.astype(np.int32) - b.astype(np.int32))))
 
 
-@pytest.mark.parametrize("pp", [PP_RGB, PP_YUV], ids=["rgb", "yuv420"])
+@pytest.mark.parametrize("pp", [PP_RGB, PP_YUV, PP_YUV_NOOP],
+                         ids=["rgb", "yuv420", "yuv420_noop"])
 def test_av_close_to_python_oracle(tiny_wlasl, pp):
     """Same frames sampled, staged output within tolerance of the cv2 path.
 
