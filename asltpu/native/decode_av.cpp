@@ -22,6 +22,16 @@
 // Fast flags (lowres / loop-filter skip) additionally change pixels
 // "approximately" by codec design and are opt-in on top.
 //
+// Measured NEGATIVE (2026-08-18, recorded so nobody re-attempts it): a
+// crop-before-scale staging variant (pre-crop the source to the region
+// that survives the center crop, then swscale only that) cannot pay. The
+// whole plane-resample stage is ~2.5 ms/clip against a ~34 ms/clip 480p
+// exact-decode total (~7%; bilinear 480p→256-short on this host is
+// 0.16 ms/frame) — the codec's IDCT+MC dominates, and cropping the sws
+// input could at best halve that 7% while adding sub-pixel phase drift
+// vs the cv2 oracle. The no-op direct plane crop below (exact-size case)
+// stays because it removes the whole pass where it applies.
+//
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this
 // environment), mirroring decode.cpp's entry-point contract.
 //
