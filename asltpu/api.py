@@ -596,8 +596,7 @@ def stream_predict(
             )
         from asltpu import native as _native
 
-        fast_flags = (_native.FAST_LOWRES | _native.FAST_SKIP_LOOP_FILTER
-                      | _native.FAST_SKIP_NONREF)
+        fast_flags = _native.FAST_ALL
     pool = make_decode_pool(pp, num_workers=num_decode_workers,
                             backend=decode_backend, fast_flags=fast_flags)
 

@@ -142,7 +142,9 @@ def _exec_single_dispatch_cps(model, batch, iters=10):
 
 def _decode_rate(pp, batch, workers, backend, bpaths, flags=0):
     """Decode-only clips/s of one backend over fresh files (host-only; no
-    link traffic). Returns None when the backend can't be built/loaded."""
+    link traffic). Returns None when the backend can't be built/loaded OR
+    fails mid-probe — a diagnostic probe must never abort the whole
+    multi-minute bench run."""
     from asltpu.data.decode import make_decode_pool
 
     try:
@@ -150,13 +152,16 @@ def _decode_rate(pp, batch, workers, backend, bpaths, flags=0):
                              fast_flags=flags)
     except Exception:
         return None
-    t0 = time.perf_counter()
-    n = 0
-    for _, kept in p.map_batches(bpaths, batch):
-        n += len(kept)
-    rate = n / (time.perf_counter() - t0)
-    p.shutdown()
-    return round(rate, 2)
+    try:
+        t0 = time.perf_counter()
+        n = 0
+        for _, kept in p.map_batches(bpaths, batch):
+            n += len(kept)
+        return round(n / (time.perf_counter() - t0), 2)
+    except Exception:
+        return None
+    finally:
+        p.shutdown()
 
 
 def poisoned_sample(win_rates, e2e_cps, sel):
@@ -309,6 +314,22 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    fast_flags = 0
+    if args.decode_fast:
+        # Codec-level fast modes live in the libav backend only (same
+        # fail-fast as api.stream_predict): auto implies av, anything else
+        # is a contradiction. Validated BEFORE load_model — on the real
+        # host the model build is a minutes-long remote compile, and a
+        # flag contradiction must not cost that (repo convention: cmd_eval
+        # parses the index before the compile for the same reason).
+        if args.decode_backend == "auto":
+            args.decode_backend = "av"
+        elif args.decode_backend != "av":
+            ap.error("--decode-fast requires --decode-backend av")
+        from asltpu import native as _native
+
+        fast_flags = _native.FAST_ALL
+
     import jax
 
     from asltpu.api import load_model
@@ -330,20 +351,6 @@ def main() -> int:
     )
     pp = model.cfg.preprocess
     fn = model.predict_fn()
-
-    fast_flags = 0
-    if args.decode_fast:
-        # Codec-level fast modes live in the libav backend only (same
-        # fail-fast as api.stream_predict): auto implies av, anything
-        # else is a contradiction.
-        if args.decode_backend == "auto":
-            args.decode_backend = "av"
-        elif args.decode_backend != "av":
-            ap.error("--decode-fast requires --decode-backend av")
-        from asltpu import native as _native
-
-        fast_flags = (_native.FAST_LOWRES | _native.FAST_SKIP_LOOP_FILTER
-                      | _native.FAST_SKIP_NONREF)
 
     # ---- decode corpora (host-only; no link traffic) ---------------------
     tmp = tempfile.mkdtemp(prefix="asltpu_bench_")
@@ -500,8 +507,7 @@ def main() -> int:
 
         r_av_fast = _decode_rate(
             pp, args.batch, args.decode_workers, "av", paths480_c,
-            _nat.FAST_LOWRES | _nat.FAST_SKIP_LOOP_FILTER
-            | _nat.FAST_SKIP_NONREF)
+            _nat.FAST_ALL)
         if r_av_fast is not None:
             realistic["decode_only_480p_av_fast_clips_per_sec"] = r_av_fast
         # Full pipeline at 480p: best available backend (exact mode).
@@ -516,6 +522,7 @@ def main() -> int:
             realistic["e2e_realistic_link_mbps"] = rset["link_mbps"]
         be_order = (["av", "native", "auto"]
                     if r_av is not None else ["native", "auto"])
+        p480 = None
         for be in be_order:
             try:
                 p480 = make_decode_pool(pp, num_workers=args.decode_workers,
@@ -523,14 +530,22 @@ def main() -> int:
                 break
             except Exception:
                 continue
-        rr, r_overall, _, rdet = _stream_e2e(
-            p480, fn, model.variables, paths480_d, args.batch, n_windows=2)
-        p480.shutdown()
-        realistic["e2e_realistic_clips_per_sec"] = round(r_overall, 2)
-        realistic["e2e_realistic_windows"] = rr
-        realistic["e2e_realistic_detail"] = rdet
-        realistic["e2e_realistic_backend"] = type(p480).__name__ + (
-            ":av" if getattr(p480, "lib", "") == "av" else "")
+        if p480 is None:
+            # Every backend failed to construct (e.g. the native .so became
+            # unloadable between the probes above and here): record the
+            # skip instead of crashing after all the expensive earlier
+            # measurements.
+            realistic["e2e_realistic_error"] = "no decode backend available"
+        else:
+            rr, r_overall, _, rdet = _stream_e2e(
+                p480, fn, model.variables, paths480_d, args.batch,
+                n_windows=2)
+            p480.shutdown()
+            realistic["e2e_realistic_clips_per_sec"] = round(r_overall, 2)
+            realistic["e2e_realistic_windows"] = rr
+            realistic["e2e_realistic_detail"] = rdet
+            realistic["e2e_realistic_backend"] = type(p480).__name__ + (
+                ":av" if getattr(p480, "lib", "") == "av" else "")
         # Same pipeline with the codec-level fast modes (lowres + filter
         # skip; approximate decode — parity measured separately in
         # tests/unit/test_decode_av.py): the e2e rate when decode WORK is
@@ -541,8 +556,7 @@ def main() -> int:
 
             pf = make_decode_pool(
                 pp, num_workers=args.decode_workers, backend="av",
-                fast_flags=(_natf.FAST_LOWRES | _natf.FAST_SKIP_LOOP_FILTER
-                            | _natf.FAST_SKIP_NONREF))
+                fast_flags=_natf.FAST_ALL)
             if args.link_settle:
                 fset = _wait_link_healthy(min(args.link_settle, 120.0))
                 realistic["e2e_realistic_fast_link_mbps"] = fset["link_mbps"]

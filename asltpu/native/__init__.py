@@ -31,6 +31,10 @@ _INT_MIN = -(2 ** 31)
 FAST_LOWRES = 1        # DCT-domain reduced-resolution decode (mpeg4 family)
 FAST_SKIP_LOOP_FILTER = 2  # h264/hevc deblocking off (~20-30% less work)
 FAST_SKIP_NONREF = 4   # drop non-reference (B) frames when unsampled
+# The "decode_fast" mode every caller means (bench --decode-fast,
+# api.stream_predict(decode_fast=True)): one definition so a new flag
+# can't silently diverge between the bench lanes and the API path.
+FAST_ALL = FAST_LOWRES | FAST_SKIP_LOOP_FILTER | FAST_SKIP_NONREF
 
 _lib = None
 _lib_err: Optional[str] = None
@@ -44,13 +48,15 @@ def _load():
     with _lock:
         if _lib is not None or _lib_err is not None:
             return _lib
-        if os.environ.get("ASLTPU_NATIVE_DISABLE"):
-            # Set by a parent process whose build already failed (or by a
-            # user forcing the Python path) — worker processes must not each
-            # re-attempt the same doomed g++ build on first decode.
-            _lib_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
-            return None
         if not os.path.exists(_SO):
+            # The disable flag gates only the BUILD attempt: it is set by a
+            # parent process whose build already failed (or by a user
+            # forcing the Python path), so worker processes don't each
+            # re-attempt the same doomed (up to 300 s) g++ build — but a
+            # library that already exists on disk is always loadable.
+            if os.environ.get("ASLTPU_NATIVE_DISABLE"):
+                _lib_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
+                return None
             try:
                 subprocess.run(
                     ["sh", os.path.join(_DIR, "build.sh")],
@@ -85,10 +91,13 @@ def _load_av():
     with _lock:
         if _lib_av is not None or _lib_av_err is not None:
             return _lib_av
-        if os.environ.get("ASLTPU_NATIVE_DISABLE"):
-            _lib_av_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
-            return None
         if not os.path.exists(_SO_AV):
+            # Same contract as _load: the flag suppresses build retries
+            # only; a prebuilt library on disk stays loadable even when a
+            # SIBLING library's build failed (the flag is set for either).
+            if os.environ.get("ASLTPU_NATIVE_DISABLE"):
+                _lib_av_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
+                return None
             try:
                 subprocess.run(
                     ["sh", os.path.join(_DIR, "build.sh")],
@@ -107,6 +116,7 @@ def _load_av():
             return None
         lib.asltpu_av_decode_clip.restype = ctypes.c_int
         lib.asltpu_av_decode_batch.restype = ctypes.c_int
+        lib.asltpu_av_encode_synthetic.restype = ctypes.c_int
         lib.asltpu_av_abi_version.restype = ctypes.c_int
         if lib.asltpu_av_abi_version() != 1:
             _lib_av_err = "native av ABI version mismatch"
@@ -248,6 +258,32 @@ def decode_clip_av(
     if rc != 0:
         raise IOError(f"no decodable frames in {path}")
     return out
+
+
+def encode_synthetic_av(
+    path: str,
+    num_frames: int,
+    size: Tuple[int, int],
+    max_b_frames: int = 0,
+    gop_size: int = 12,
+    seed: int = 0,
+) -> int:
+    """Write a deterministic smooth-gradient mpeg4 clip with a controllable
+    B-frame structure (test-fixture encoder; cv2's writer in this image
+    cannot emit B-frames, leaving the FAST_SKIP_NONREF / frame-reorder
+    decode paths fixture-less without this). Returns the number of
+    reordered packets — nonzero iff B-frames were actually encoded."""
+    lib = _load_av()
+    if lib is None:
+        raise RuntimeError(_lib_av_err or "native av decode unavailable")
+    h, w = size
+    rc = lib.asltpu_av_encode_synthetic(
+        path.encode(), int(num_frames), int(h), int(w), int(max_b_frames),
+        int(gop_size), int(seed),
+    )
+    if rc < 0:
+        raise IOError(f"cannot encode synthetic clip: {path}")
+    return rc
 
 
 def decode_batch_av(

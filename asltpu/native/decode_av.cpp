@@ -444,9 +444,21 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
         if (got >= 0 && got <= first) {
           pos = got;  // st.frame currently holds frame `got`
         } else {
-          // Unreliable seek: rewind to the start.
-          av_seek_frame(st.fmt, st.stream_idx, 0,
-                        AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
+          // Unreliable seek: rewind to the start. Timestamp seek first
+          // (mp4/mov demuxers reject byte seeking); byte seek as the
+          // fallback for index-less containers. If NEITHER works the
+          // demuxer is still parked at the failed seek target while
+          // `pos` would claim 0 — every staged frame would be
+          // misnumbered — so fail the clip instead.
+          int64_t ts0 = stream->start_time == AV_NOPTS_VALUE
+                            ? 0
+                            : stream->start_time;
+          if (av_seek_frame(st.fmt, st.stream_idx, ts0,
+                            AVSEEK_FLAG_BACKWARD) < 0 &&
+              av_seek_frame(st.fmt, st.stream_idx, 0,
+                            AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE) < 0) {
+            return -2;
+          }
           avcodec_flush_buffers(st.ctx);
           if (next_frame(&st) != 0) return -2;
           pos = 0;
@@ -473,35 +485,42 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
   // this lever pays off on real WLASL h264 sources.)
   bool skip_nonref = (fast_flags & kFastSkipNonref) != 0;
   for (;;) {
-    while (wi < want.size() && want[wi].first < pos) ++wi;
-    if (wi >= want.size()) break;
-    if (want[wi].first == pos) {
+    // Stage the current frame into every wanted slot at or BEFORE `pos`:
+    // under fast-mode frame drops a run of discarded nonref frames can
+    // overshoot a wanted index, and the current frame is then the closest
+    // decodable one — leaving overshot slots unwritten would return
+    // np.empty() garbage as success. In exact mode `want[wi].first < pos`
+    // never happens (pos advances one checked frame at a time and the
+    // seek lands at or before `first`), so `<=` is the == of before.
+    while (wi < want.size() && want[wi].first <= pos) {
       uint8_t* slot0 = out + want[wi].second[0] * fbytes;
       if (stage_frame(&st, staging_h, staging_w, host_resize_short, bbox,
                       yuv420 != 0, src_w, src_h, slot0) != 0) {
-        break;
+        goto backfill;
       }
       for (size_t k = 1; k < want[wi].second.size(); ++k) {
         std::memcpy(out + want[wi].second[k] * fbytes, slot0, fbytes);
       }
       last_good = slot0;
       ++wi;
-      if (wi >= want.size()) break;
     }
-    if (pos >= max_needed) break;
+    if (wi >= want.size() || pos >= max_needed) break;
     if (skip_nonref) {
       // Only safe to discard nonref frames while none of them can be the
       // next wanted frame — h264 reorders, so require a gap of >2.
-      st.ctx->skip_frame = (wi < want.size() && want[wi].first - pos > 2)
-                               ? AVDISCARD_NONREF
-                               : AVDISCARD_DEFAULT;
+      st.ctx->skip_frame = (want[wi].first - pos > 2) ? AVDISCARD_NONREF
+                                                      : AVDISCARD_DEFAULT;
     }
     int rc = next_frame(&st);
     if (rc != 0) { eof = true; break; }
     ++pos;
     if (skip_nonref && st.ctx->skip_frame != AVDISCARD_DEFAULT) {
       // Dropped frames never surface from receive_frame; advance `pos` by
-      // timestamp instead of assuming +1.
+      // timestamp instead of assuming +1. A stream that gives us no usable
+      // timestamps while frames are being dropped would silently desync
+      // `pos` (later frames staged under earlier indices) — stop skipping
+      // for the rest of this clip instead; the drift already incurred is
+      // bounded by one skip window.
       int64_t pts = st.frame->best_effort_timestamp;
       if (pts != AV_NOPTS_VALUE && stream->avg_frame_rate.num > 0) {
         int got = static_cast<int>(av_rescale_q(
@@ -509,9 +528,13 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
                                                         : stream->start_time),
             stream->time_base, av_inv_q(stream->avg_frame_rate)));
         if (got > pos) pos = got;
+      } else {
+        skip_nonref = false;
+        st.ctx->skip_frame = AVDISCARD_DEFAULT;
       }
     }
   }
+backfill:
   (void)eof;
   if (last_good == nullptr) return -2;
   for (; wi < want.size(); ++wi) {
@@ -556,6 +579,111 @@ int asltpu_av_decode_batch(const char** paths, int n, int num_frames,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return n_ok.load();
+}
+
+// Test-fixture encoder: a deterministic smooth-gradient mpeg4 clip with a
+// CONTROLLABLE B-frame structure. cv2's VideoWriter in this image cannot
+// emit B-frames (no x264; OPENCV_FFMPEG_WRITER_OPTIONS is ignored), so
+// without this the entire FAST_SKIP_NONREF / frame-reorder machinery above
+// would have no reachable fixture. Content mirrors synthetic.write_video's
+// moving gradient (codec-friendly, parity-tolerant). Returns the number of
+// reordered packets (pts != dts — nonzero iff B-frames were actually
+// encoded), or <0 on error.
+int asltpu_av_encode_synthetic(const char* path, int num_frames, int h,
+                               int w, int max_b_frames, int gop_size,
+                               int seed) {
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) return -1;
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 ||
+      !fmt) {
+    return -1;
+  }
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  int reordered = -1;
+  AVStream* stream = nullptr;
+  do {
+    if (!ctx || !frame || !pkt) break;
+    ctx->width = w;
+    ctx->height = h;
+    ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    ctx->time_base = {1, 25};
+    ctx->gop_size = gop_size;
+    ctx->max_b_frames = max_b_frames;
+    ctx->bit_rate = static_cast<int64_t>(h) * w * 25 / 4;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER) {
+      ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    }
+    if (avcodec_open2(ctx, codec, nullptr) < 0) break;
+    stream = avformat_new_stream(fmt, codec);
+    if (!stream) break;
+    stream->time_base = ctx->time_base;
+    if (avcodec_parameters_from_context(stream->codecpar, ctx) < 0) break;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+      break;
+    }
+    if (avformat_write_header(fmt, nullptr) < 0) break;
+    frame->format = AV_PIX_FMT_YUV420P;
+    frame->width = w;
+    frame->height = h;
+    if (av_frame_get_buffer(frame, 0) < 0) break;
+    reordered = 0;
+    double ph = 0.37 * seed;
+    auto drain = [&](bool flush) -> bool {
+      if (avcodec_send_frame(ctx, flush ? nullptr : frame) < 0) return false;
+      for (;;) {
+        int rc = avcodec_receive_packet(ctx, pkt);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return true;
+        if (rc < 0) return false;
+        if (pkt->pts != AV_NOPTS_VALUE && pkt->dts != AV_NOPTS_VALUE &&
+            pkt->pts != pkt->dts) {
+          ++reordered;
+        }
+        av_packet_rescale_ts(pkt, ctx->time_base, stream->time_base);
+        pkt->stream_index = stream->index;
+        if (av_interleaved_write_frame(fmt, pkt) < 0) return false;
+      }
+    };
+    bool ok = true;
+    for (int t = 0; t < num_frames && ok; ++t) {
+      if (av_frame_make_writable(frame) < 0) { ok = false; break; }
+      for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+          double v = 127.5 + 110.0 * std::sin(0.05 * (x + y) + ph + 0.3 * t);
+          frame->data[0][y * frame->linesize[0] + x] =
+              static_cast<uint8_t>(std::min(255.0, std::max(0.0, v)));
+        }
+      }
+      for (int y = 0; y < h / 2; ++y) {
+        for (int x = 0; x < w / 2; ++x) {
+          double u = 128.0 + 40.0 * std::sin(0.03 * (x - y) + ph + 0.2 * t);
+          double v = 128.0 + 40.0 * std::sin(0.04 * (x + 2 * y) - ph + 0.15 * t);
+          frame->data[1][y * frame->linesize[1] + x] =
+              static_cast<uint8_t>(std::min(255.0, std::max(0.0, u)));
+          frame->data[2][y * frame->linesize[2] + x] =
+              static_cast<uint8_t>(std::min(255.0, std::max(0.0, v)));
+        }
+      }
+      frame->pts = t;
+      ok = drain(false);
+    }
+    if (ok) ok = drain(true);
+    if (ok && av_write_trailer(fmt) < 0) ok = false;
+    if (!ok) reordered = -1;
+  } while (false);
+  if (pkt) av_packet_free(&pkt);
+  if (frame) av_frame_free(&frame);
+  if (ctx) avcodec_free_context(&ctx);
+  if (fmt) {
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) {
+      avio_closep(&fmt->pb);
+    }
+    avformat_free_context(fmt);
+  }
+  return reordered;
 }
 
 int asltpu_av_abi_version() { return 1; }

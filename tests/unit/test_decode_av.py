@@ -127,6 +127,62 @@ def test_av_fast_flags_still_valid_frames(tiny_wlasl):
         assert _mad(exact, fast) <= 8.0
 
 
+def test_encode_synthetic_bframes(tmp_path):
+    """The fixture encoder emits real B-frames when asked (reordered
+    packets > 0) and none otherwise — the precondition for every B-frame
+    decode test below (cv2's writer cannot produce such streams here)."""
+    p0 = str(tmp_path / "b0.mp4")
+    p2 = str(tmp_path / "b2.mp4")
+    assert native.encode_synthetic_av(p0, 40, (64, 64), max_b_frames=0) == 0
+    assert native.encode_synthetic_av(p2, 40, (64, 64), max_b_frames=2) > 0
+
+
+def test_av_bframe_stream_exact_parity(tmp_path):
+    """Exact decode of a B-frame (reordered) stream matches the cv2 oracle:
+    display-order reassembly, sampling, and staging are reorder-proof."""
+    p = str(tmp_path / "b3.mp4")
+    assert native.encode_synthetic_av(p, 40, (64, 64), max_b_frames=3,
+                                      seed=5) > 0
+    py = decode_sampled_frames(p, 8, (48, 48))
+    av = native.decode_clip_av(p, 8, (48, 48))
+    assert _mad(py, av) <= 3.0
+
+
+def test_av_bframe_segment_seek_parity(tmp_path):
+    """Seek-based segment decode on a B-frame stream (frame_start deep
+    enough to take the av_seek_frame path) still lands the right frames."""
+    p = str(tmp_path / "bseek.mp4")
+    assert native.encode_synthetic_av(p, 60, (64, 64), max_b_frames=2,
+                                      seed=9) > 0
+    py = decode_sampled_frames(p, 6, (48, 48), frame_start=25, frame_end=55)
+    av = native.decode_clip_av(p, 6, (48, 48), frame_start=25, frame_end=55)
+    assert _mad(py, av) <= 3.0
+
+
+def test_av_skip_nonref_never_leaves_slots_unwritten(tmp_path):
+    """Regression (round-3 review): with FAST_SKIP_NONREF on a stream whose
+    B-frame runs are LONGER than the skip guard gap (max_b_frames=3 vs the
+    gap>2 enable), a drop window can overshoot a wanted frame. Every output
+    slot must still be staged with the nearest decodable frame — the old
+    loop skipped the overshot want entry, returning the np.empty() buffer
+    contents (here: a 255 prefill, MAD ~100+ vs any real frame) as
+    success."""
+    p = str(tmp_path / "bskip.mp4")
+    assert native.encode_synthetic_av(p, 40, (64, 64), max_b_frames=3,
+                                      seed=1) > 0
+    exact = native.decode_clip_av(p, 8, (48, 48))
+    out = np.full((1, 8, 48, 48, 3), 255, np.uint8)
+    frames, ok = native.decode_batch_av(
+        [p], 8, (48, 48), fast_flags=native.FAST_SKIP_NONREF, out=out)
+    assert ok[0] == 0
+    for t in range(8):
+        mad = _mad(frames[0, t], exact[t])
+        assert mad <= 30.0, (
+            f"frame {t} not staged (MAD {mad:.1f} vs exact — "
+            "unwritten slot?)"
+        )
+
+
 def test_make_decode_pool_av_backend():
     pool = make_decode_pool(PP_RGB, backend="av")
     assert isinstance(pool, NativeDecodePool) and pool.lib == "av"
