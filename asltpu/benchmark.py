@@ -655,6 +655,10 @@ def main() -> int:
         "corpus_clips": len(corpus),
         "decode_backend": type(pool).__name__ + (
             ":av" if getattr(pool, "lib", "") == "av" else ""),
+        # Approximate-decode marker: a headline measured with the
+        # codec-level fast modes must be distinguishable from an
+        # exact-decode run when JSONs are compared across rounds.
+        "decode_fast": bool(fast_flags),
         "split_programs": not args.fused,
         "staging_format": pp.staging_format,
         "staged_mb_per_clip": round(

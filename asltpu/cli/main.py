@@ -85,6 +85,16 @@ def cmd_predict(args) -> int:
     missing = [c for c in args.clips if not os.path.exists(c)]
     if missing:
         raise SystemExit(f"error: clip(s) not found: {', '.join(missing)}")
+    # Same flag contract as bench: the codec-level fast modes live in the
+    # libav backend only, so --decode-fast implies av and contradicts any
+    # other explicit backend — fail/upgrade here, not minutes later inside
+    # stream_predict after the model compile.
+    if args.decode_fast:
+        if args.decode_backend == "auto":
+            args.decode_backend = "av"
+        elif args.decode_backend != "av":
+            raise SystemExit(
+                "error: --decode-fast requires --decode-backend av")
     model = _load(args)
     landmarks_for = None
     if model.takes_landmarks:

@@ -63,6 +63,15 @@ class PreprocessConfig:
     # Requires even staging dims. "rgb" is the bit-parity default.
     staging_format: str = "rgb"  # "rgb" | "yuv420"
 
+    def __post_init__(self):
+        # One central guard for every consumer: the native decoders' C ABI
+        # builds its sampling plan from num_frames and a non-positive value
+        # used to reach undefined behavior there (empty want-list back()).
+        if self.num_frames < 1:
+            raise ValueError(
+                f"num_frames must be >= 1; got {self.num_frames}"
+            )
+
     @property
     def out_jnp_dtype(self):
         return jnp.dtype(self.out_dtype)

@@ -30,32 +30,13 @@
 #include <thread>
 #include <vector>
 
+#include "decode_common.h"
+
 namespace {
 
-// Python round(): banker's (half-to-even) rounding. std::nearbyint honors
-// the FE_TONEAREST default mode, which is exactly half-to-even.
-inline int py_round(double v) { return static_cast<int>(std::nearbyint(v)); }
-
-// asltpu.ops.preprocess.resize_plan: aspect-preserving short-side resize.
-inline void resize_plan(int h, int w, int short_side, int* rh, int* rw) {
-  if (h <= w) {
-    *rh = short_side;
-    *rw = py_round(static_cast<double>(w) * short_side / h);
-  } else {
-    *rh = py_round(static_cast<double>(h) * short_side / w);
-    *rw = short_side;
-  }
-}
-
-// asltpu.ops.preprocess.uniform_sample_indices (center-of-segment).
-inline void uniform_sample(int total, int num_out, std::vector<int64_t>* out) {
-  out->resize(num_out);
-  for (int i = 0; i < num_out; ++i) {
-    double idx = (i + 0.5) * static_cast<double>(total) / num_out;
-    int64_t v = static_cast<int64_t>(idx);  // trunc == floor (idx >= 0)
-    (*out)[i] = std::min<int64_t>(v, total - 1);
-  }
-}
+using asltpu::frame_bytes;
+using asltpu::resize_plan;
+using asltpu::uniform_sample;
 
 // decode.py::_stage — bbox crop, clamped aspect resize, center crop,
 // BGR→RGB or BGR→I420 pack, written straight into the caller's buffer.
@@ -89,11 +70,6 @@ void stage(const cv::Mat& frame_bgr_in, int hs, int ws, int host_resize_short,
   }
 }
 
-inline size_t frame_bytes(int hs, int ws, bool yuv420) {
-  return yuv420 ? static_cast<size_t>(hs) * 3 / 2 * ws
-                : static_cast<size_t>(hs) * ws * 3;
-}
-
 }  // namespace
 
 extern "C" {
@@ -106,6 +82,9 @@ int asltpu_decode_clip(const char* path, int num_frames, int staging_h,
                        int staging_w, int host_resize_short, int frame_start,
                        int frame_end, const int* bbox, int yuv420,
                        uint8_t* out) {
+  // Guard the C ABI: num_frames <= 0 would leave `want` empty and
+  // want.back() below is UB (could segfault the embedding process).
+  if (num_frames <= 0) return -2;
   cv::VideoCapture cap(path);
   if (!cap.isOpened()) return -1;
   const size_t fbytes = frame_bytes(staging_h, staging_w, yuv420 != 0);

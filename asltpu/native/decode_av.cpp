@@ -56,34 +56,13 @@ extern "C" {
 #include <thread>
 #include <vector>
 
+#include "decode_common.h"
+
 namespace {
 
-// Python round(): banker's rounding (mirror of decode.cpp::py_round).
-inline int py_round(double v) { return static_cast<int>(std::nearbyint(v)); }
-
-inline void resize_plan(int h, int w, int short_side, int* rh, int* rw) {
-  if (h <= w) {
-    *rh = short_side;
-    *rw = py_round(static_cast<double>(w) * short_side / h);
-  } else {
-    *rh = py_round(static_cast<double>(h) * short_side / w);
-    *rw = short_side;
-  }
-}
-
-inline void uniform_sample(int total, int num_out, std::vector<int64_t>* out) {
-  out->resize(num_out);
-  for (int i = 0; i < num_out; ++i) {
-    double idx = (i + 0.5) * static_cast<double>(total) / num_out;
-    int64_t v = static_cast<int64_t>(idx);
-    (*out)[i] = std::min<int64_t>(v, total - 1);
-  }
-}
-
-inline size_t frame_bytes(int hs, int ws, bool yuv420) {
-  return yuv420 ? static_cast<size_t>(hs) * 3 / 2 * ws
-                : static_cast<size_t>(hs) * ws * 3;
-}
+using asltpu::frame_bytes;
+using asltpu::resize_plan;
+using asltpu::uniform_sample;
 
 // Fast-mode bit flags (Python side: asltpu/native/__init__.py).
 enum : int {
@@ -334,6 +313,9 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
                           int staging_w, int host_resize_short,
                           int frame_start, int frame_end, const int* bbox,
                           int yuv420, int fast_flags, uint8_t* out) {
+  // Guard the C ABI: num_frames <= 0 would leave `want` empty and
+  // want.back() below is UB (could segfault the embedding process).
+  if (num_frames <= 0) return -2;
   DecoderState st;
   // lowres engages only while the decoded short side still covers the
   // STAGED short side (≥1 decoded pixel per staged pixel): the resize
@@ -386,7 +368,11 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
         uint8_t* slot0 = out + want[wi].second[0] * fbytes;
         if (stage_frame(&st2, staging_h, staging_w, host_resize_short, bbox,
                         yuv420 != 0, src_w, src_h, slot0) != 0) {
-          return -2;
+          // Mid-stream staging failure: fall through to the trailing
+          // backfill (fill remaining slots from last_good), matching the
+          // known-length path's `goto backfill` semantics — the clip only
+          // fails (-2) when NO frame staged at all.
+          break;
         }
         for (size_t k = 1; k < want[wi].second.size(); ++k) {
           std::memcpy(out + want[wi].second[k] * fbytes, slot0, fbytes);

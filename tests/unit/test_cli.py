@@ -115,8 +115,10 @@ def test_cli_train_fails_fast_when_underfull(tmp_path, tiny_wlasl_module):
 
 def test_cli_predict_decode_fast(capsys, tiny_wlasl_module):
     """`asl predict --decode-backend av --decode-fast` drives the
-    codec-level fast-decode lane through the CLI; --decode-fast without
-    the av backend fails fast (the flag has no meaning elsewhere)."""
+    codec-level fast-decode lane through the CLI. Flag contract matches
+    bench: --decode-fast with the default (auto) backend implies av;
+    with any OTHER explicit backend it fails fast BEFORE the model
+    compile (the flag has no meaning elsewhere)."""
     from asltpu import native
 
     if not native.av_available():
@@ -135,9 +137,18 @@ def test_cli_predict_decode_fast(capsys, tiny_wlasl_module):
         "--decode-backend", "av", "--decode-fast", *small,
     ])
     assert rc == 0 and len(rows) == 2
-    with pytest.raises(ValueError, match="decode_fast"):
+    # auto + --decode-fast upgrades to the av backend (bench semantics).
+    rc, rows = _run(capsys, [
+        "predict", recs[0].path,
+        "--model", "mobilenet_gru", "--num-classes", "6",
+        "--decode-fast", *small,
+    ])
+    assert rc == 0 and len(rows) == 1
+    # An explicit non-av backend contradicts --decode-fast: SystemExit
+    # during argument validation, before any model build.
+    with pytest.raises(SystemExit, match="decode-fast"):
         main([
             "predict", recs[0].path,
             "--model", "mobilenet_gru", "--num-classes", "6",
-            "--decode-fast", *small,
+            "--decode-backend", "native", "--decode-fast", *small,
         ])

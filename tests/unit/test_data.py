@@ -300,3 +300,15 @@ def test_decode_pool_processes_match_threads(tiny_wlasl):
     finally:
         tp.shutdown()
         pq.shutdown()
+
+
+def test_preprocess_config_rejects_nonpositive_num_frames():
+    """Central guard: the native decoders' C ABI builds a sampling plan
+    from num_frames, and num_frames <= 0 used to reach undefined behavior
+    there (empty want-list back()). The config now fails at construction."""
+    import pytest
+
+    with pytest.raises(ValueError, match="num_frames"):
+        PreprocessConfig(num_frames=0)
+    with pytest.raises(ValueError, match="num_frames"):
+        PreprocessConfig(num_frames=-3)

@@ -92,3 +92,16 @@ def test_make_decode_pool_auto_prefers_native():
     pool = make_decode_pool(PP_RGB)
     assert isinstance(pool, NativeDecodePool)
     pool.shutdown()
+
+
+def test_native_c_abi_rejects_zero_num_frames(tiny_wlasl):
+    """Defense in depth below the config guard: num_frames=0 straight into
+    the C ABI must return an error (used to be UB — want.back() on an
+    empty vector), never write, never crash."""
+    index, videos = tiny_wlasl
+    rec = WLASLIndex(index, videos, subset=6).split("train")[0]
+    with pytest.raises(IOError):
+        native.decode_clip_native(rec.path, 0, (64, 64))
+    if native.av_available():
+        with pytest.raises(IOError):
+            native.decode_clip_av(rec.path, 0, (64, 64))
