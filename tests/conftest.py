@@ -20,6 +20,17 @@ import jax  # noqa: E402
 # 8-device virtual CPU mesh.
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA:CPU compile cache (same store the multichip dryrun
+    # uses): the suite's wall clock is dominated by XLA:CPU compiles of the
+    # model-sized test programs, and XLA:CPU honors the cache (the repo's
+    # "compile cache NEGATIVE" finding is TPU-relay-only). First run warms;
+    # repeat runs load compiled programs in seconds. Entries are keyed by
+    # host machine features — a host change just re-warms.
+    _cache = os.path.expanduser("~/.cache/asltpu/xla_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
