@@ -340,6 +340,17 @@ def main() -> int:
         from asltpu import native as _native
 
         fast_flags = _native.FAST_ALL
+    if args.decode_backend == "av":
+        # Availability too, not just the flag contradiction: a host without
+        # a working ffmpeg SDK must fail here, not at pool construction
+        # after the model compile, corpus encode, and link settle.
+        from asltpu import native as _native
+
+        if not _native.av_available():
+            ap.error(
+                "--decode-backend av unavailable: "
+                f"{_native.av_unavailable_reason()}"
+            )
 
     import jax
 
@@ -461,8 +472,14 @@ def main() -> int:
         retried["e2e_first_attempt_windows"] = win_rates
         retried["e2e_first_attempt_link_mbps"] = round(_probe_link_mbps(), 1)
         retried["e2e_retry_trigger"] = retry_trigger
+        # Encode the retry corpus BEFORE the settle (not after): writing
+        # args.clips synthetic files is exactly the heavy host burst the
+        # corpus-ordering comment above describes, and the settle's idle
+        # (min_idle_s) must refill the CPU quota it drains — otherwise the
+        # retry stream re-starts in the very starved state being retried.
+        corpus2 = _make_corpus(tmp, "retry", args.clips, (256, 256), 9000)
         retried["e2e_retry_settle"] = _wait_link_healthy(
-            min(args.link_settle, 240.0))
+            min(args.link_settle, 240.0), min_idle_s=45.0)
         # A starvation episode can outlast the link settle (the two budgets
         # are independent: relay transfer vs hypervisor CPU). Wait, bounded,
         # for the HOST to recover too — probe with the same pool on fresh
@@ -481,7 +498,6 @@ def main() -> int:
                     break
                 time.sleep(20)
             retried["e2e_retry_cpu_probe_clips_per_sec"] = round(rate, 2)
-        corpus2 = _make_corpus(tmp, "retry", args.clips, (256, 256), 9000)
         win_rates, e2e_overall, dev_pipeline_cps, win_detail = (
             _stream_e2e(pool, fn, model.variables, corpus2, args.batch,
                         n_windows=args.windows))

@@ -95,6 +95,16 @@ def cmd_predict(args) -> int:
         elif args.decode_backend != "av":
             raise SystemExit(
                 "error: --decode-fast requires --decode-backend av")
+    if args.decode_backend == "av":
+        # Availability too: without a working ffmpeg SDK this must fail
+        # now, not inside stream_predict after the model compile.
+        from asltpu import native
+
+        if not native.av_available():
+            raise SystemExit(
+                "error: --decode-backend av unavailable: "
+                f"{native.av_unavailable_reason()}"
+            )
     model = _load(args)
     landmarks_for = None
     if model.takes_landmarks:

@@ -70,12 +70,18 @@ def _load():
                 return None
         try:
             lib = ctypes.CDLL(_SO)
+            lib.asltpu_decode_clip.restype = ctypes.c_int
+            lib.asltpu_decode_batch.restype = ctypes.c_int
+            lib.asltpu_native_abi_version.restype = ctypes.c_int
         except OSError as e:
             _lib_err = f"native load failed: {e}"
             return None
-        lib.asltpu_decode_clip.restype = ctypes.c_int
-        lib.asltpu_decode_batch.restype = ctypes.c_int
-        lib.asltpu_native_abi_version.restype = ctypes.c_int
+        except AttributeError as e:
+            # A stale .so missing a symbol added since it was built — the
+            # version stamp can't catch this (binding runs first), so it
+            # must report unavailability, not crash availability probes.
+            _lib_err = f"native library stale (missing symbol): {e}"
+            return None
         if lib.asltpu_native_abi_version() != 1:
             _lib_err = "native ABI version mismatch"
             return None
@@ -92,11 +98,16 @@ def _load_av():
         if _lib_av is not None or _lib_av_err is not None:
             return _lib_av
         if not os.path.exists(_SO_AV):
-            # Same contract as _load: the flag suppresses build retries
+            # Same contract as _load: the flags suppress BUILD retries
             # only; a prebuilt library on disk stays loadable even when a
-            # SIBLING library's build failed (the flag is set for either).
-            if os.environ.get("ASLTPU_NATIVE_DISABLE"):
-                _lib_av_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
+            # sibling library's build failed. The av lane has its own flag
+            # because build.sh treats it as best-effort — the OpenCV
+            # library can build fine while this one is doomed, and each
+            # new worker process must not re-pay the g++ attempt.
+            if os.environ.get("ASLTPU_NATIVE_DISABLE") or os.environ.get(
+                "ASLTPU_NATIVE_AV_DISABLE"
+            ):
+                _lib_av_err = "native av decode disabled (env flag)"
                 return None
             try:
                 subprocess.run(
@@ -105,19 +116,31 @@ def _load_av():
                 )
             except Exception as e:
                 _lib_av_err = f"native av build failed: {e}"
+                os.environ["ASLTPU_NATIVE_AV_DISABLE"] = "1"
                 return None
-            if not os.path.exists(_SO_AV):  # ffmpeg SDK absent: soft skip
-                _lib_av_err = "ffmpeg dev SDK not present"
+            if not os.path.exists(_SO_AV):
+                # build.sh ran but produced no av library: the ffmpeg dev
+                # SDK is absent or the av compile failed (best-effort —
+                # see build.sh). Mark it off for child processes too.
+                _lib_av_err = (
+                    "libav backend not built (ffmpeg dev SDK absent or "
+                    "av compile failed — see build.sh)"
+                )
+                os.environ["ASLTPU_NATIVE_AV_DISABLE"] = "1"
                 return None
         try:
             lib = ctypes.CDLL(_SO_AV)
+            lib.asltpu_av_decode_clip.restype = ctypes.c_int
+            lib.asltpu_av_decode_batch.restype = ctypes.c_int
+            lib.asltpu_av_encode_synthetic.restype = ctypes.c_int
+            lib.asltpu_av_abi_version.restype = ctypes.c_int
         except OSError as e:
             _lib_av_err = f"native av load failed: {e}"
             return None
-        lib.asltpu_av_decode_clip.restype = ctypes.c_int
-        lib.asltpu_av_decode_batch.restype = ctypes.c_int
-        lib.asltpu_av_encode_synthetic.restype = ctypes.c_int
-        lib.asltpu_av_abi_version.restype = ctypes.c_int
+        except AttributeError as e:
+            # Stale .so predating a symbol added since (see _load).
+            _lib_av_err = f"native av library stale (missing symbol): {e}"
+            return None
         if lib.asltpu_av_abi_version() != 1:
             _lib_av_err = "native av ABI version mismatch"
             return None

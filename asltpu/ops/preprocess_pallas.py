@@ -175,15 +175,15 @@ def _yuv_kernel_constants(
             csv[w // 2, 3 * w + c] = vcoef[c] * s[c]
     lane = np.arange(ws * 3) % 3
     biasv = bias[lane][None, :].astype(np.float32)
-    lo = biasv
+    # The clamp's lower bound (0−mean)/std IS the bias vector — the kernel
+    # reuses b_ref for it rather than carrying a duplicate VMEM operand.
     hi = (1.0 / np.asarray(std, np.float64))[lane][None, :].astype(
         np.float32) + biasv
-    return re, ro, sy, csu, csv, biasv, lo, hi
+    return re, ro, sy, csu, csv, biasv, hi
 
 
 def _yuv_frame_kernel(
-    x_ref, re_ref, ro_ref, sy_ref, csu_ref, csv_ref, b_ref, lo_ref, hi_ref,
-    out_ref,
+    x_ref, re_ref, ro_ref, sy_ref, csu_ref, csv_ref, b_ref, hi_ref, out_ref,
 ):
     """One frame: [1, Hs·3/2, Ws] packed I420 u8 → [1, Hs, Ws·3] out_dtype."""
     hp, ws = x_ref.shape[1], x_ref.shape[2]
@@ -208,7 +208,7 @@ def _yuv_frame_kernel(
     acc = jnp.dot(m, sy_ref[:], preferred_element_type=jnp.float32)
     acc = acc + jnp.dot(ur, csu_ref[:], preferred_element_type=jnp.float32)
     acc = acc + jnp.dot(vr, csv_ref[:], preferred_element_type=jnp.float32)
-    acc = jnp.clip(acc + b_ref[:], lo_ref[:], hi_ref[:])
+    acc = jnp.clip(acc + b_ref[:], b_ref[:], hi_ref[:])
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -224,7 +224,7 @@ def preprocess_clip_yuv420_pallas(
     b, t, hp, ws = planes_u8.shape
     hs = hp * 2 // 3
     n = b * t
-    re, ro, sy, csu, csv, biasv, lo, hi = _yuv_kernel_constants(
+    re, ro, sy, csu, csv, biasv, hi = _yuv_kernel_constants(
         hs, ws, cfg.mean, cfg.std
     )
     x = planes_u8.reshape(n, hp, ws)
@@ -250,7 +250,6 @@ def preprocess_clip_yuv420_pallas(
             pl.BlockSpec((wc, ws * 3), lambda i: (0, 0), **space),
             pl.BlockSpec((1, ws * 3), lambda i: (0, 0), **space),
             pl.BlockSpec((1, ws * 3), lambda i: (0, 0), **space),
-            pl.BlockSpec((1, ws * 3), lambda i: (0, 0), **space),
         ],
         out_specs=pl.BlockSpec((1, hs, ws * 3), lambda i: (i, 0, 0), **space),
         out_shape=jax.ShapeDtypeStruct((n, hs, ws * 3), cfg.out_jnp_dtype),
@@ -258,6 +257,6 @@ def preprocess_clip_yuv420_pallas(
     )(
         x, jnp.asarray(re), jnp.asarray(ro), jnp.asarray(sy),
         jnp.asarray(csu), jnp.asarray(csv), jnp.asarray(biasv),
-        jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(hi),
     )
     return out.reshape(b, t, hs, ws, 3)

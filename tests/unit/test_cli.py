@@ -152,3 +152,48 @@ def test_cli_predict_decode_fast(capsys, tiny_wlasl_module):
             "--model", "mobilenet_gru", "--num-classes", "6",
             "--decode-backend", "native", "--decode-fast", *small,
         ])
+
+
+def test_cli_av_backend_unavailable_fails_before_compile(
+    monkeypatch, tiny_wlasl_module
+):
+    """An av backend that can't load must fail during argument validation —
+    not minutes later inside stream_predict after the model compile. The
+    probe is monkeypatched so the test is meaningful on hosts where the
+    real library builds fine."""
+    from asltpu import native
+
+    monkeypatch.setattr(native, "av_available", lambda: False)
+    monkeypatch.setattr(
+        native, "av_unavailable_reason", lambda: "forced-off for test"
+    )
+    index, videos = tiny_wlasl_module
+    from asltpu.data.wlasl import WLASLIndex
+
+    rec = WLASLIndex(index, videos, subset=6).split("train")[0]
+    # _load would compile a model; make reaching it the failure mode.
+    # (asltpu.cli re-exports a `main` FUNCTION, which `import a.b as c`
+    # resolves in preference to the submodule — go through importlib.)
+    import importlib
+
+    cli_main = importlib.import_module("asltpu.cli.main")
+
+    def _boom(args):  # pragma: no cover - only on regression
+        raise AssertionError("model compile reached despite av unavailable")
+
+    monkeypatch.setattr(cli_main, "_load", _boom)
+    for extra in (["--decode-fast"], ["--decode-backend", "av"]):
+        with pytest.raises(SystemExit, match="unavailable"):
+            main([
+                "predict", rec.path,
+                "--model", "mobilenet_gru", "--num-classes", "6", *extra,
+            ])
+    # Same contract in the bench entry point (argparse exits with code 2
+    # from ap.error, before load_model/corpus/settle).
+    import sys as _sys
+
+    import asltpu.benchmark as benchmark
+
+    monkeypatch.setattr(_sys, "argv", ["bench", "--decode-fast"])
+    with pytest.raises(SystemExit):
+        benchmark.main()
