@@ -285,9 +285,16 @@ def _unpack_flat(flat, specs):
     recreated the closure every call and recompiled the (identical) unpack
     program on every warm ``load_model`` (VERDICT r2 weak #5)."""
     return tuple(
-        jax.lax.dynamic_slice(
-            flat, (off,), (int(np.prod(shape)) or 1,)
-        ).reshape(shape)
+        (
+            # Zero-size leaves contribute nothing to the packed buffer and
+            # cannot be sliced out of it (a forced 1-element slice fails the
+            # reshape to a 0-element shape) — materialize them directly.
+            jnp.zeros(shape, flat.dtype)
+            if int(np.prod(shape)) == 0
+            else jax.lax.dynamic_slice(
+                flat, (off,), (int(np.prod(shape)),)
+            ).reshape(shape)
+        )
         for off, shape in specs
     )
 
@@ -352,7 +359,7 @@ def init_variables(module, cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
     cache = os.path.join(
         _INIT_CACHE_DIR, f"{type(cfg).__name__}-{_init_cache_key(cfg, seed)}.npz"
     )
-    if not os.path.exists(cache):
+    def _build_cache():
         import pickle
         import subprocess
         import sys as _sys
@@ -361,6 +368,10 @@ def init_variables(module, cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
         with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
             pickle.dump((cfg, seed), f)
             cfg_path = f.name
+        # Process-unique tmp name: two processes cold-starting the same
+        # (config, seed) must not interleave zip writes into one file
+        # (os.replace then installs whichever finished, both complete).
+        tmp_npz = f"{cache}.tmp.{os.getpid()}.npz"
         helper = (
             "import pickle, sys, functools\n"
             "import jax\n"
@@ -374,15 +385,27 @@ def init_variables(module, cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
             "*_dummy_inputs(cfg, init_spatial=32))\n"
             "np.savez(%r, **_flatten_state(jax.device_get(v)))\n"
         ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-             cfg_path, cache + ".tmp.npz")
+             cfg_path, tmp_npz)
         try:
             subprocess.run([_sys.executable, "-c", helper], check=True,
                            timeout=900)
-            os.replace(cache + ".tmp.npz", cache)
+            os.replace(tmp_npz, cache)
         finally:
             os.unlink(cfg_path)
-    with np.load(cache) as z:
-        variables = _unflatten_state({k: z[k] for k in z.files})
+
+    if not os.path.exists(cache):
+        _build_cache()
+    try:
+        with np.load(cache) as z:
+            variables = _unflatten_state({k: z[k] for k in z.files})
+    except Exception:
+        # A corrupt installed cache (partial write from a crashed builder,
+        # disk-full truncation) must self-heal, not fail every load_model
+        # until someone deletes the file by hand.
+        os.unlink(cache)
+        _build_cache()
+        with np.load(cache) as z:
+            variables = _unflatten_state({k: z[k] for k in z.files})
     return packed_device_put(variables, default)
 
 
@@ -531,6 +554,15 @@ def stream_predict(
     pose_only = isinstance(model.cfg, PoseBiLSTMConfig)
     on_error = "skip" if skip_errors else "raise"
 
+    if needs_lm and landmarks_for is None:
+        # Up-front for FUSION models too, not just pose-only: without this,
+        # skip_errors=True would swallow the per-clip TypeError from calling
+        # None and the stream would decode every video then yield nothing.
+        raise ValueError(
+            f"model '{type(model.cfg).__name__}' consumes landmarks: pass "
+            "landmarks_for=<callable path -> [T,543,3]>"
+        )
+
     def load_lm(path):
         """landmarks_for with skip_errors semantics (None on failure)."""
         try:
@@ -547,11 +579,6 @@ def stream_predict(
             return None
 
     if pose_only:
-        if landmarks_for is None:
-            raise ValueError(
-                "pose models stream from landmarks: pass landmarks_for="
-            )
-
         # No video decode or DecodePool needed: batch landmarks directly.
         def host_batches():
             for i in range(0, len(paths), batch_size):

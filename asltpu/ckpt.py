@@ -79,10 +79,14 @@ def restore_variables(directory: str, template: Variables) -> Variables:
     raw = ocp.PyTreeCheckpointer().restore(path)
     out = {}
     for key, tmpl in template.items():
-        if key in raw and raw[key]:
+        val = raw.get(key)
+        # Presence check must not use bare truthiness: array leaves (rng,
+        # a 0-d step) would raise on ambiguous truth / drop a step==0.
+        # Absent means: missing, None, or an empty dict collection.
+        if val is not None and not (isinstance(val, dict) and not val):
             # Validate structure/shape against the template while casting.
             out[key] = jax.tree.map(
-                lambda t, r: jnp.asarray(r, t.dtype), tmpl, raw[key]
+                lambda t, r: jnp.asarray(r, t.dtype), tmpl, val
             )
         else:
             out[key] = tmpl  # e.g. stats absent in the checkpoint
@@ -172,10 +176,9 @@ def _t(x) -> np.ndarray:
 
 
 def conv2d_kernel(w) -> np.ndarray:
-    w = _t(w)
-    if w.shape[1] == 1 and w.shape[0] > 1:  # depthwise (C,1,kH,kW)
-        return w.transpose(2, 3, 1, 0)
-    return w.transpose(2, 3, 1, 0)  # OIHW → HWIO
+    # OIHW → HWIO; the depthwise case (C,1,kH,kW) → (kH,kW,1,C) falls out
+    # of the same permutation (flax feature_group_count convention).
+    return _t(w).transpose(2, 3, 1, 0)
 
 
 def conv3d_kernel(w) -> np.ndarray:
@@ -210,7 +213,12 @@ def _set(tree: Dict, flax_path: str, value: np.ndarray):
             f"shape mismatch at {flax_path}: template {tuple(old.shape)} vs "
             f"import {tuple(value.shape)}"
         )
-    node[keys[-1]] = jnp.asarray(value, dtype=old.dtype)
+    # HOST-side assign: the import functions mutate a numpy mirror and the
+    # finished tree uploads ONCE (packed) — a jnp.asarray here costs one
+    # device round-trip per parameter, the exact per-leaf-RPC pattern
+    # api.packed_device_put exists to avoid (seconds each on a throttled
+    # relay link; README "known environment limits").
+    node[keys[-1]] = np.asarray(value, dtype=old.dtype)
 
 
 def _import_convbn(
@@ -253,7 +261,7 @@ def import_mobilenetv2(
             _import_convbn(p, s, f"{blk}/depthwise", sd, f"{first}.0.0", f"{first}.0.1")
             _import_convbn(p, s, f"{blk}/project", sd, f"{first}.1", f"{first}.2")
     _import_convbn(p, s, f"{pre}head", sd, "features.18.0", "features.18.1")
-    return jax.tree.map(jnp.asarray, variables)
+    return variables  # HOST tree; consumers upload once (packed)
 
 
 def import_resnet18(
@@ -275,7 +283,7 @@ def import_resnet18(
                     p, s, f"{f}/downsample", sd,
                     f"{t}.downsample.0", f"{t}.downsample.1",
                 )
-    return jax.tree.map(jnp.asarray, variables)
+    return variables  # HOST tree; consumers upload once (packed)
 
 
 def import_torch_rnn(
@@ -311,7 +319,7 @@ def import_torch_rnn(
                 _assign(p, tag + "wh", wh)
                 _assign(p, tag + "bi", bi)
                 _assign(p, tag + "bh", bh)
-    return jax.tree.map(jnp.asarray, variables)
+    return variables  # HOST tree; consumers upload once (packed)
 
 
 def _assign(node: Dict, key: str, value: np.ndarray):
@@ -381,7 +389,7 @@ def import_transformer_head(
     set_("final_ln/bias", sd["final_ln.bias"])
     set_("fc/kernel", linear_kernel(sd["fc.weight"]))
     set_("fc/bias", sd["fc.bias"])
-    return jax.tree.map(jnp.asarray, variables)
+    return variables  # HOST tree; consumers upload once (packed)
 
 
 def _import_mha(
@@ -434,7 +442,7 @@ def import_two_stream(
                 _set(p, f"{f}/{s_}_{fc}/kernel",
                      linear_kernel(sd[f"{t}.{s_}_{fc}.weight"]))
                 _set(p, f"{f}/{s_}_{fc}/bias", sd[f"{t}.{s_}_{fc}.bias"])
-    return jax.tree.map(jnp.asarray, variables)
+    return variables  # HOST tree; consumers upload once (packed)
 
 
 def import_i3d(
@@ -461,13 +469,27 @@ def import_i3d(
         w = sd["logits.conv3d.weight"]  # (C, 1024, 1, 1, 1)
         _set(p, "logits/kernel", w.reshape(w.shape[0], w.shape[1]).T)
         _set(p, "logits/bias", sd["logits.conv3d.bias"])
-    return jax.tree.map(jnp.asarray, variables)
+    return variables  # HOST tree; consumers upload once (packed)
 
 
 def load_torch_checkpoint(
     path: str, variables: Variables, cfg: ModelConfig
 ) -> Variables:
-    """Dispatch the torch import by model config."""
+    """Dispatch the torch import by model config.
+
+    The per-family import functions build a HOST (numpy) tree; this entry
+    point performs the one packed upload, so a torch-checkpoint load costs
+    O(dtypes) device round-trips instead of one per parameter (the relay
+    link makes per-leaf transfers seconds each when throttled — see
+    api.packed_device_put)."""
+    from asltpu.api import packed_device_put
+
+    return packed_device_put(_load_torch_host(path, variables, cfg))
+
+
+def _load_torch_host(
+    path: str, variables: Variables, cfg: ModelConfig
+) -> Variables:
     sd = load_state_dict(path)
     if isinstance(cfg, MobileNetV2GRUConfig):
         v = import_mobilenetv2(sd, variables, prefix="backbone")
@@ -513,4 +535,4 @@ def _import_linear(
     _set(variables["params"], f"{flax_path}/kernel",
          linear_kernel(sd[f"{torch_name}.weight"]))
     _set(variables["params"], f"{flax_path}/bias", sd[f"{torch_name}.bias"])
-    return jax.tree.map(jnp.asarray, variables)
+    return variables  # HOST tree; consumers upload once (packed)

@@ -463,6 +463,17 @@ def make_decode_pool(
 
     ``fast_flags`` (av only): OR of ``asltpu.native.FAST_*`` bits.
     """
+    if backend not in ("auto", "native", "av", "process", "thread"):
+        # A typo'd backend must not silently run the ~3× slower thread pool.
+        raise ValueError(
+            f"unknown decode backend {backend!r}; expected one of "
+            "auto/native/av/process/thread"
+        )
+    if fast_flags and backend != "av":
+        raise ValueError(
+            "fast_flags are codec-level modes of the 'av' backend; "
+            f"backend={backend!r} would silently ignore them"
+        )
     if backend == "av":
         return NativeDecodePool(cfg, num_workers=num_workers, lib="av",
                                 fast_flags=fast_flags)

@@ -161,5 +161,9 @@ def prefetch_map(
 ) -> Iterator[Any]:
     """Apply a (jitted) device fn over a prefetched stream; decode of batch
     i+1 overlaps device work of batch i."""
-    for batch in Prefetcher(host_iter, depth=depth, sharding=sharding):
-        yield fn(batch)
+    # with-block, not a bare loop: a caller that breaks early (or an fn that
+    # raises) sends GeneratorExit here, and close() must run or the worker
+    # thread stays blocked in q.put pinning buffers for the process life.
+    with Prefetcher(host_iter, depth=depth, sharding=sharding) as pf:
+        for batch in pf:
+            yield fn(batch)

@@ -81,6 +81,19 @@ class PredictServer:
         self._fn = model.predict_fn()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._running = True
+        # Guards the (_running check → put) pair in submit against the
+        # batcher's final orphan-drain: without it a request could land in
+        # the queue AFTER the drain finished and block its caller forever.
+        self._submit_lock = threading.Lock()
+        pp = getattr(model.cfg, "preprocess", None)
+        self._frames_shape = (
+            (pp.num_frames, *pp.staged_frame_shape)
+            if model.takes_rgb and pp is not None else None
+        )
+        self._lm_shape = (
+            (getattr(model.cfg, "num_frames", 16), 543, 3)
+            if model.takes_landmarks else None
+        )
         self._thread = threading.Thread(
             target=self._loop, name="asltpu-serve", daemon=True
         )
@@ -98,14 +111,33 @@ class PredictServer:
             raise ValueError("model requires RGB frames")
         if self.model.takes_landmarks and landmarks is None:
             raise ValueError("model requires landmarks")
-        if not self._running:
-            raise RuntimeError("server is shut down")
+        # Per-request shape validation: one malformed request otherwise
+        # fails np.stack in _assemble and the whole co-batched group's
+        # futures get someone else's error. Reject only the offender here.
+        if self._frames_shape is not None and (
+            tuple(np.shape(frames)) != self._frames_shape
+        ):
+            raise ValueError(
+                f"frames shape {tuple(np.shape(frames))} != expected "
+                f"{self._frames_shape} (one staged clip, no batch dim)"
+            )
+        if self._lm_shape is not None and (
+            tuple(np.shape(landmarks)) != self._lm_shape
+        ):
+            raise ValueError(
+                f"landmarks shape {tuple(np.shape(landmarks))} != expected "
+                f"{self._lm_shape}"
+            )
         req = _Request(frames, landmarks)
-        self._q.put(req)
+        with self._submit_lock:
+            if not self._running:
+                raise RuntimeError("server is shut down")
+            self._q.put(req)
         return req.future
 
     def shutdown(self, wait: bool = True):
-        self._running = False
+        with self._submit_lock:
+            self._running = False
         self._q.put(None)
         if wait:
             self._thread.join(timeout=30)
@@ -180,7 +212,12 @@ class PredictServer:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
-        self._running = False
+        # Close the submit window BEFORE draining: taking the lock means any
+        # submit that already passed its _running check has completed its
+        # put (both happen under the lock), so the drain below sees every
+        # enqueued request and later submits raise instead of orphaning.
+        with self._submit_lock:
+            self._running = False
         # Fail any request that raced past the _running check into the
         # queue behind the shutdown sentinel — a silent orphan would block
         # its caller until timeout.

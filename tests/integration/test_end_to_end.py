@@ -73,6 +73,13 @@ def test_two_stream_end_to_end(tiny_wlasl):
     assert len(results) == 3
     for _, _, lg in results:
         assert lg.shape == (6,) and np.isfinite(lg).all()
+    # Fusion models without landmarks_for must fail UP FRONT — under
+    # skip_errors=True the old per-clip TypeError was swallowed and the
+    # stream decoded everything then yielded nothing.
+    import pytest
+
+    with pytest.raises(ValueError, match="landmarks_for"):
+        list(api.stream_predict(model, paths, skip_errors=True))
 
 
 def test_pose_bilstm_predict():

@@ -268,6 +268,9 @@ def test_packed_device_put_roundtrip():
               "e": rng.integers(0, 9, (5,)).astype(np.int32)},
         "f": [rng.normal(size=(1,)).astype(np.float32),
               np.float32(3.5), rng.normal(size=(8,)).astype(np.float32)],
+        # Zero-size leaves: nothing to slice from the packed buffer — they
+        # must materialize directly instead of failing the unpack reshape.
+        "g": np.zeros((0, 4), np.float32),
     }
     out = packed_device_put(tree)
     flat_in, td_in = jax.tree.flatten(tree)
@@ -312,3 +315,17 @@ def test_preprocess_config_rejects_nonpositive_num_frames():
         PreprocessConfig(num_frames=0)
     with pytest.raises(ValueError, match="num_frames"):
         PreprocessConfig(num_frames=-3)
+
+
+def test_make_decode_pool_rejects_unknown_backend_and_stray_fast_flags():
+    """A typo'd backend must not silently run the slow thread pool, and
+    fast_flags (av-only codec modes) must not be silently ignored."""
+    import pytest
+
+    from asltpu.data.decode import make_decode_pool
+
+    cfg = PreprocessConfig(num_frames=4, staging_size=(64, 64))
+    with pytest.raises(ValueError, match="unknown decode backend"):
+        make_decode_pool(cfg, backend="AV")
+    with pytest.raises(ValueError, match="fast_flags"):
+        make_decode_pool(cfg, backend="thread", fast_flags=1)

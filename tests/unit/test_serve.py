@@ -78,6 +78,16 @@ def test_serve_validates_inputs(rgb_model):
     try:
         with pytest.raises(ValueError, match="requires RGB"):
             server.submit(landmarks=synthetic_landmarks(1, 4)[0])
+        # Per-request SHAPE validation: a malformed request must be
+        # rejected at submit(), not fail np.stack inside the batcher where
+        # its exception lands on every co-batched caller's future.
+        with pytest.raises(ValueError, match="frames shape"):
+            server.submit(_frames(0)[:, :32])
+        with pytest.raises(ValueError, match="frames shape"):
+            server.submit(_frames(0)[None])  # stray batch dim
+        # A valid request co-submitted with the rejects still succeeds.
+        gloss, logits = server.submit(_frames(1)).result(timeout=60)
+        assert logits.shape == (6,)
     finally:
         server.shutdown()
     with pytest.raises(RuntimeError, match="shut down"):
