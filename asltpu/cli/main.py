@@ -150,11 +150,10 @@ def cmd_train(args) -> int:
 
     from asltpu.config import CONFIG_REGISTRY as _REG
 
-    if args.model in _REG and not hasattr(_REG[args.model](), "preprocess"):
+    if args.model not in _REG:
         raise SystemExit(
-            "error: CLI training decodes RGB clips; landmark-input models "
-            "(pose_bilstm) train via the library API with precomputed "
-            "landmarks (see asltpu.train.loop.train)"
+            f"error: unknown model '{args.model}' "
+            f"(choices: {', '.join(sorted(_REG))})"
         )
     overrides = _model_overrides(args)
     pp_overrides = dict(overrides.get("preprocess", {}))
@@ -171,11 +170,15 @@ def cmd_train(args) -> int:
     if pp_overrides:
         overrides["preprocess"] = pp_overrides
     cfg = get_config(args.model, **overrides)
-    if not hasattr(cfg, "preprocess"):
+    # RGB-only lane: a landmark-consuming model (no preprocess, OR
+    # video+landmark fusion) would otherwise pass init and fail minutes
+    # later deep inside the jitted step when `train=True` binds to the
+    # missing landmarks argument.
+    if not hasattr(cfg, "preprocess") or hasattr(cfg, "num_landmarks"):
         raise SystemExit(
-            "error: CLI training decodes RGB clips; landmark-input models "
-            "(pose_bilstm) train via the library API with precomputed "
-            "landmarks (see asltpu.train.loop.train)"
+            "error: CLI training decodes RGB clips only; landmark-consuming "
+            "models (pose_bilstm, two_stream) train via the library API "
+            "with precomputed landmarks (see asltpu.train.loop.train)"
         )
     module = build_module(cfg)
     tcfg = TrainConfig(
@@ -238,8 +241,11 @@ def cmd_train(args) -> int:
             try:
                 for recs in batches_from_records(records, tcfg.batch_size,
                                                  seed=tcfg.seed):
+                    # on_error="skip": one corrupt clip in a scraped WLASL
+                    # download must not kill an hours-long run (the pool
+                    # logs each skip; the padding below re-fills the batch).
                     for frames, kept in pool.map_batches(
-                        recs, tcfg.batch_size
+                        recs, tcfg.batch_size, "skip"
                     ):
                         labels = np.asarray(
                             [recs[k].label for k in kept], np.int32
@@ -271,14 +277,25 @@ def cmd_train(args) -> int:
         def eval_batches():
             # Eval splits are small and fixed: decode once, reuse every
             # eval cycle (re-decoding serially stalls the TPU for minutes).
+            # The final PARTIAL batch is kept (frames padded by repeating
+            # the last clip, labels padded with -1 so run_eval excludes the
+            # pad rows) — dropping it silently excluded up to batch_size-1
+            # clips from every reported metric, and reported 0.0 forever
+            # when the whole split was smaller than one batch.
             if not eval_cache:
-                for i in range(0, len(eval_records) - tcfg.batch_size + 1,
-                               tcfg.batch_size):
+                for i in range(0, len(eval_records), tcfg.batch_size):
                     recs = eval_records[i : i + tcfg.batch_size]
-                    eval_cache.append(
-                        (np.stack([decode_record(r, pp) for r in recs]),
-                         np.asarray([r.label for r in recs], np.int32))
-                    )
+                    frames = np.stack([decode_record(r, pp) for r in recs])
+                    labels = np.asarray([r.label for r in recs], np.int32)
+                    pad = tcfg.batch_size - len(recs)
+                    if pad:
+                        frames = np.concatenate(
+                            [frames, np.repeat(frames[-1:], pad, axis=0)]
+                        )
+                        labels = np.concatenate(
+                            [labels, np.full((pad,), -1, np.int32)]
+                        )
+                    eval_cache.append((frames, labels))
             yield from eval_cache
 
     state = train(
@@ -287,6 +304,10 @@ def cmd_train(args) -> int:
         augment=None if args.no_augment else AugmentConfig(),
         eval_batches=eval_batches,
         resumable_iter=resumable_iter,
+        # Route param init through the CPU-subprocess cache + packed upload
+        # (on the relay host, an on-TPU full-model init program costs a
+        # minutes-long remote compile AND degrades the link ~50×).
+        model_cfg=cfg,
     )
     log.info("training done at step %d", int(state.step))
     return 0

@@ -145,7 +145,17 @@ def precompute_landmarks(
             continue
         # Extract on every decodable frame (cheap synthetic path) — real
         # extractors may subsample; the store re-samples at read time.
-        frames = decode_sampled_frames(rec.path, 64, staging_size)
+        # The record's frame segment MUST be honored: the RGB lanes decode
+        # only [frame_start, frame_end], so whole-video landmarks would
+        # misalign in time with the frames they fuse/classify against.
+        # The signer bbox is deliberately NOT applied — holistic detection
+        # wants the full frame, and landmark coordinates stay in full-frame
+        # normalized units (normalize_landmarks recenters downstream).
+        frames = decode_sampled_frames(
+            rec.path, 64, staging_size,
+            frame_start=getattr(rec, "frame_start", 1),
+            frame_end=getattr(rec, "frame_end", -1),
+        )
         store.put(rec.video_id, extractor.extract(frames))
         n += 1
     return n

@@ -35,31 +35,43 @@ class ResumableIterator:
     """
 
     def __init__(self, it, keep: int = 16):
+        import threading
+
         self._it = it
         self._keep = keep
         self._snapshots: dict = {}
         self._seq = 0
+        # __next__ runs on the Prefetcher's decode-ahead thread while
+        # state_for runs on the train (main) thread at checkpoint time; the
+        # grain iterator is not thread-safe, so both must serialize or a
+        # torn get_state lands in grain_state.bin and resume repeats/skips.
+        self._lock = threading.Lock()
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        self._snapshots[self._seq] = self._it.get_state()
-        # Prune far-behind snapshots (a checkpoint only ever needs one a few
-        # batches back — bounded by prefetch depth).
-        for k in [k for k in self._snapshots if k < self._seq - self._keep]:
-            del self._snapshots[k]
-        self._seq += 1
-        return next(self._it)
+        with self._lock:
+            self._snapshots[self._seq] = self._it.get_state()
+            # Prune far-behind snapshots (a checkpoint only ever needs one a
+            # few batches back — bounded by prefetch depth).
+            for k in [
+                k for k in self._snapshots if k < self._seq - self._keep
+            ]:
+                del self._snapshots[k]
+            self._seq += 1
+            return next(self._it)
 
     def state_for(self, consumed: int) -> Optional[bytes]:
         """grain state that resumes with batch index ``consumed`` (i.e. the
-        consumer has finished batches [0, consumed))."""
-        if consumed >= self._seq:
-            # Consumer claims more than was pulled — only possible at the
-            # exact boundary; the raw state is correct there.
-            return self._it.get_state()
-        return self._snapshots.get(consumed)
+        consumer has finished batches [0, consumed)). May block for up to
+        one in-flight decode (the lock covers the worker's next())."""
+        with self._lock:
+            if consumed >= self._seq:
+                # Consumer claims more than was pulled — only possible at
+                # the exact boundary; the raw state is correct there.
+                return self._it.get_state()
+            return self._snapshots.get(consumed)
 
 
 class ClipDataSource:

@@ -40,7 +40,11 @@ def init_distributed(
     """
     import os
 
-    if jax.process_count() > 1:
+    # Idempotency check WITHOUT touching the backend: jax.process_count()
+    # would initialize XLA, after which jax.distributed.initialize() raises
+    # ("must be called before any JAX calls...") — the bring-up below would
+    # be unreachable on every pod.
+    if jax.distributed.is_initialized():
         return jax.process_index()
     if coordinator_address or num_processes:
         jax.distributed.initialize(

@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from asltpu.config import PreprocessConfig, TrainConfig
@@ -49,11 +50,33 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def create_train_state(
-    module, cfg: TrainConfig, dummy_inputs: Tuple[Any, ...], seed: int = 0
+    module,
+    cfg: TrainConfig,
+    dummy_inputs: Tuple[Any, ...],
+    seed: int = 0,
+    model_cfg=None,
 ) -> TrainState:
+    """Build the initial TrainState.
+
+    ``model_cfg``: when given, parameter init routes through
+    :func:`asltpu.api.init_variables` — on a relay-constrained TPU host
+    that is a CPU-subprocess init with a disk cache and ONE packed upload,
+    instead of jitting a full-model init program on the default backend
+    (~90-300 s remote compile that also degrades the relay link ~50× for
+    the rest of the process; README "known environment limits"). Note the
+    two paths draw the init RNG differently, so parameters for the same
+    seed differ between them (either is deterministic by itself).
+    """
     rng = jax.random.PRNGKey(seed)
     init_rng, state_rng = jax.random.split(rng)
-    variables = jax.jit(module.init, static_argnums=())(init_rng, *dummy_inputs)
+    if model_cfg is not None:
+        from asltpu.api import init_variables
+
+        variables = init_variables(module, model_cfg, seed)
+    else:
+        variables = jax.jit(module.init, static_argnums=())(
+            init_rng, *dummy_inputs
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg)
@@ -205,6 +228,7 @@ def train(
     augment=None,
     eval_batches: Optional[Callable[[], Iterable[Tuple[Any, Any]]]] = None,
     resumable_iter=None,
+    model_cfg=None,
 ) -> TrainState:
     """Run the training loop over an iterable of (batch_in, labels).
 
@@ -223,7 +247,10 @@ def train(
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
     if state is None:
-        state = create_train_state(module, train_cfg, dummy_inputs, train_cfg.seed)
+        state = create_train_state(
+            module, train_cfg, dummy_inputs, train_cfg.seed,
+            model_cfg=model_cfg,
+        )
         state = _ckpt.try_restore_train_state(train_cfg.ckpt_dir, state)
     step_fn = make_train_step(module, train_cfg, pp_cfg, mesh, augment)
     eval_fn = (
@@ -236,7 +263,10 @@ def train(
             t1, t5 = eval_fn(state, batch_in, labels)
             top1 += int(t1)
             top5 += int(t5)
-            n += len(labels)
+            # Count only REAL rows: partial-batch pads carry label -1
+            # (never matches an argmax/top-k index, so they contribute 0
+            # to the numerators too).
+            n += int(np.sum(np.asarray(labels) >= 0))
         metrics = {
             "eval_top1": top1 / max(n, 1),
             "eval_top5": top5 / max(n, 1),
@@ -247,6 +277,7 @@ def train(
         return metrics
 
     start = int(state.step)
+    last_eval_step = -1
     t0 = time.perf_counter()
     try:
         for i, (batch_in, labels) in enumerate(batches):
@@ -265,6 +296,7 @@ def train(
                     metric_writer(step + 1, m)
             if eval_fn is not None and (step + 1) % train_cfg.eval_every == 0:
                 run_eval(state, step + 1)
+                last_eval_step = step + 1
             if (step + 1) % train_cfg.ckpt_every == 0:
                 _ckpt.save_train_state(
                     train_cfg.ckpt_dir, state, keep=train_cfg.ckpt_keep
@@ -283,6 +315,9 @@ def train(
         close = getattr(batches, "close", None)
         if callable(close):
             close()
-    if eval_fn is not None:
+    # Final eval — unless the periodic eval already ran at this exact step
+    # (num_steps a multiple of eval_every would otherwise score the whole
+    # split twice back-to-back and write a duplicate metric row).
+    if eval_fn is not None and int(state.step) != last_eval_step:
         run_eval(state, int(state.step))
     return state

@@ -151,8 +151,10 @@ def test_train_with_periodic_eval():
         eval_batches=lambda: [fixed, _batch(seed=3)],
     )
     assert int(state.step) == 6
-    # eval at steps 3, 6 and the final eval (step 6 again).
-    assert [s for s, _ in evals] == [3, 6, 6]
+    # eval at steps 3 and 6; the end-of-training eval is SKIPPED when the
+    # periodic eval already ran at the final step (it used to score the
+    # whole split twice back-to-back and write a duplicate metric row).
+    assert [s for s, _ in evals] == [3, 6]
     for _, m in evals:
         assert m["eval_clips"] == 16.0
         assert 0.0 <= m["eval_top1"] <= m["eval_top5"] <= 1.0
