@@ -63,10 +63,10 @@ def make_synthetic_wlasl(
 ) -> Tuple[str, str]:
     """Create a tiny WLASL-shaped dataset under ``root``.
 
-    Returns (index_json_path, video_dir). Only the first
-    ``min(num_glosses, clips_per_gloss…)`` glosses get real video files;
-    the index always lists ``num_glosses`` glosses so subset logic is
-    exercised.
+    Returns (index_json_path, video_dir). EVERY listed instance gets a real
+    video file on disk (tests that need missing-video entries delete files
+    or add index entries themselves — WLASLIndex's present-only filtering
+    is exercised that way in tests/unit/test_data.py).
     """
     video_dir = os.path.join(root, "videos")
     os.makedirs(video_dir, exist_ok=True)

@@ -37,10 +37,16 @@ def normalize_landmarks(lm: jax.Array) -> jax.Array:
     right = lm[..., _RIGHT_SHOULDER, :]
     center = 0.5 * (left + right)  # [..., T, 3]
     scale = jnp.linalg.norm(left - right, axis=-1, keepdims=True)  # [..., T, 1]
-    scale = jnp.maximum(scale, 1e-4)
-    normed = (lm - center[..., None, :]) / scale[..., None, :]
+    # A frame with no usable pose (shoulders zero/co-located — MediaPipe's
+    # missing-pose convention) has no normalization reference: dividing by
+    # the clamped epsilon would scale any PRESENT face/hand rows by ~1e4
+    # and saturate every downstream gate — zero the whole frame instead.
+    pose_ok = scale > 1e-3  # real shoulder width in normalized units ≈ 0.2
+    normed = (lm - center[..., None, :]) / jnp.maximum(
+        scale, 1e-4)[..., None, :]
     missing = jnp.all(lm == 0.0, axis=-1, keepdims=True)
-    return jnp.where(missing, 0.0, normed)
+    normed = jnp.where(missing, 0.0, normed)
+    return jnp.where(pose_ok[..., None, :], normed, 0.0)
 
 
 class PoseBiLSTM(nn.Module):

@@ -69,6 +69,15 @@ class TwoStreamFusion(nn.Module):
     @nn.compact
     def __call__(self, clip, landmarks, train: bool = False):
         b, t = clip.shape[:2]
+        if tuple(landmarks.shape[:2]) != (b, t):
+            # Catch temporal misalignment at the boundary: reshape(b, t, -1)
+            # below silently succeeds whenever T_lm*1629 divides by t,
+            # surfacing only as a confusing kp_proj kernel-shape mismatch.
+            raise ValueError(
+                f"landmarks [B,T]={tuple(landmarks.shape[:2])} must match "
+                f"clip [B,T]=({b}, {t}) — resample landmarks to the clip's "
+                "frame sampling (e.g. LandmarkStore.get / aligned decode)"
+            )
         # RGB stream → per-frame tokens
         frames, bt = merge_time_into_batch(clip)
         rgb = MobileNetV2(self.width_mult, dtype=self.dtype, name="rgb_backbone")(

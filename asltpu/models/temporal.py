@@ -48,6 +48,10 @@ class GRUHead(nn.Module):
                 "bh": p("bh", (3 * self.hidden,)),
             }
             x, h_last = gru_layer(x, params)
+            if layer < self.num_layers - 1:
+                # torch nn.GRU(dropout=...) semantics: dropout on each
+                # layer's output sequence except the last.
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(h_last)
         return nn.Dense(self.num_classes, param_dtype=jnp.float32, name="fc")(x)
 

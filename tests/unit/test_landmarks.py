@@ -183,3 +183,24 @@ def test_pose_stream_predict_via_store(tmp_path, tiny_wlasl):
     assert len(results) == 3
     for _, _, lg in results:
         assert lg.shape == (6,) and np.isfinite(lg).all()
+
+
+def test_normalize_landmarks_zeroes_frames_without_pose():
+    """A frame whose pose block is missing (zeros) has no shoulder
+    reference: the whole frame must zero out, not divide present face/hand
+    rows by the epsilon-clamped scale (which scaled them ~1e4 and
+    saturated every downstream gate)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asltpu.models.bilstm import normalize_landmarks
+
+    lm = np.random.default_rng(0).uniform(
+        0.2, 0.8, size=(1, 3, 543, 3)
+    ).astype(np.float32)
+    lm[0, 1, :33] = 0.0  # frame 1: pose block missing, face/hands present
+    out = np.asarray(normalize_landmarks(jnp.asarray(lm)))
+    assert np.all(out[0, 1] == 0.0)
+    # Frames with a valid pose keep bounded, recentered features.
+    assert np.abs(out[0, 0]).max() < 50.0
+    assert np.abs(out[0, 2]).max() < 50.0

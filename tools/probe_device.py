@@ -29,10 +29,13 @@ Usage:  python tools/probe_device.py
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# Repo root derived from this file, not hardcoded: a probe run from a
+# different checkout/worktree must import ITS asltpu, not a stale copy.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timed_single_dispatch(run, x, label, work_per_iter, iters,
