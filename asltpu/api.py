@@ -401,9 +401,15 @@ def init_variables(module, cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
     except Exception:
         # A corrupt installed cache (partial write from a crashed builder,
         # disk-full truncation) must self-heal, not fail every load_model
-        # until someone deletes the file by hand.
-        os.unlink(cache)
-        _build_cache()
+        # until someone deletes the file by hand. A CONCURRENT healer may
+        # have unlinked/rebuilt it already — suppress the missing-file
+        # race and only rebuild if nobody else has.
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(cache)
+        if not os.path.exists(cache):
+            _build_cache()
         with np.load(cache) as z:
             variables = _unflatten_state({k: z[k] for k in z.files})
     return packed_device_put(variables, default)

@@ -328,7 +328,9 @@ def _assign(node: Dict, key: str, value: np.ndarray):
         raise ValueError(
             f"shape mismatch at {key}: {tuple(old.shape)} vs {tuple(value.shape)}"
         )
-    node[key] = jnp.asarray(value, dtype=old.dtype)
+    # HOST-side, like _set: the RNN imports otherwise pay one device RPC
+    # per wi/wh/bi/bh leaf, defeating the single packed upload.
+    node[key] = np.asarray(value, dtype=old.dtype)
 
 
 def import_transformer_head(

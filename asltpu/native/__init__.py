@@ -48,26 +48,35 @@ def _load():
     with _lock:
         if _lib is not None or _lib_err is not None:
             return _lib
-        if not os.path.exists(_SO):
-            # The disable flag gates only the BUILD attempt: it is set by a
-            # parent process whose build already failed (or by a user
-            # forcing the Python path), so worker processes don't each
-            # re-attempt the same doomed (up to 300 s) g++ build — but a
-            # library that already exists on disk is always loadable.
-            if os.environ.get("ASLTPU_NATIVE_DISABLE"):
-                _lib_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
-                return None
+        # Run build.sh whenever builds aren't disabled — NOT only when the
+        # .so is missing: build.sh itself no-ops in milliseconds when the
+        # library is newer than its sources, and this is what makes its
+        # stale-rebuild logic reachable (a loader that skips it whenever
+        # the file exists would dlopen outdated native code forever).
+        # The disable flag gates only the BUILD attempt: it is set by a
+        # parent process whose build already failed (or by a user forcing
+        # the Python path), so worker processes don't each re-attempt the
+        # same doomed (up to 300 s) g++ build — but a library that
+        # already exists on disk is always loadable.
+        if not os.environ.get("ASLTPU_NATIVE_DISABLE"):
             try:
                 subprocess.run(
                     ["sh", os.path.join(_DIR, "build.sh")],
                     check=True, capture_output=True, timeout=300,
                 )
             except Exception as e:  # compiler/SDK missing → Python fallback
-                _lib_err = f"native build failed: {e}"
-                # Inherited by decode worker processes so they skip the
-                # (up to 300 s) build retry on their first decode call.
-                os.environ["ASLTPU_NATIVE_DISABLE"] = "1"
-                return None
+                if not os.path.exists(_SO):
+                    _lib_err = f"native build failed: {e}"
+                    # Inherited by decode worker processes so they skip
+                    # the build retry on their first decode call.
+                    os.environ["ASLTPU_NATIVE_DISABLE"] = "1"
+                    return None
+                # A rebuild attempt failed but a previously-built library
+                # exists: load it (possibly stale) rather than losing the
+                # native path outright.
+        elif not os.path.exists(_SO):
+            _lib_err = "native decode disabled (ASLTPU_NATIVE_DISABLE)"
+            return None
         try:
             lib = ctypes.CDLL(_SO)
             lib.asltpu_decode_clip.restype = ctypes.c_int
@@ -97,27 +106,27 @@ def _load_av():
     with _lock:
         if _lib_av is not None or _lib_av_err is not None:
             return _lib_av
-        if not os.path.exists(_SO_AV):
-            # Same contract as _load: the flags suppress BUILD retries
-            # only; a prebuilt library on disk stays loadable even when a
-            # sibling library's build failed. The av lane has its own flag
-            # because build.sh treats it as best-effort — the OpenCV
-            # library can build fine while this one is doomed, and each
-            # new worker process must not re-pay the g++ attempt.
-            if os.environ.get("ASLTPU_NATIVE_DISABLE") or os.environ.get(
-                "ASLTPU_NATIVE_AV_DISABLE"
-            ):
-                _lib_av_err = "native av decode disabled (env flag)"
-                return None
+        # Same contract as _load (including the run-even-when-present
+        # staleness rebuild): the flags suppress BUILD retries only; a
+        # prebuilt library on disk stays loadable even when a sibling
+        # library's build failed. The av lane has its own flag because
+        # build.sh treats it as best-effort — the OpenCV library can build
+        # fine while this one is doomed, and each new worker process must
+        # not re-pay the g++ attempt.
+        disabled = os.environ.get("ASLTPU_NATIVE_DISABLE") or os.environ.get(
+            "ASLTPU_NATIVE_AV_DISABLE"
+        )
+        if not disabled:
             try:
                 subprocess.run(
                     ["sh", os.path.join(_DIR, "build.sh")],
                     check=True, capture_output=True, timeout=300,
                 )
             except Exception as e:
-                _lib_av_err = f"native av build failed: {e}"
-                os.environ["ASLTPU_NATIVE_AV_DISABLE"] = "1"
-                return None
+                if not os.path.exists(_SO_AV):
+                    _lib_av_err = f"native av build failed: {e}"
+                    os.environ["ASLTPU_NATIVE_AV_DISABLE"] = "1"
+                    return None
             if not os.path.exists(_SO_AV):
                 # build.sh ran but produced no av library: the ffmpeg dev
                 # SDK is absent or the av compile failed (best-effort —
@@ -128,6 +137,9 @@ def _load_av():
                 )
                 os.environ["ASLTPU_NATIVE_AV_DISABLE"] = "1"
                 return None
+        elif not os.path.exists(_SO_AV):
+            _lib_av_err = "native av decode disabled (env flag)"
+            return None
         try:
             lib = ctypes.CDLL(_SO_AV)
             lib.asltpu_av_decode_clip.restype = ctypes.c_int

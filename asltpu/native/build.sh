@@ -12,10 +12,11 @@ cd "$(dirname "$0")"
 # library lacking a later-added symbol would otherwise load and then blow
 # up at ctypes symbol binding instead of being rebuilt.
 needs_build() {
-    [ ! -f "$1" ] && return 0
+    so="$1"
+    [ ! -f "$so" ] && return 0
     shift
     for src in "$@" decode_common.h; do
-        if [ "$src" -nt "$1" ]; then return 0; fi
+        if [ "$src" -nt "$so" ]; then return 0; fi
     done
     return 1
 }

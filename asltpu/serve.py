@@ -91,7 +91,11 @@ class PredictServer:
             if model.takes_rgb and pp is not None else None
         )
         self._lm_shape = (
-            (getattr(model.cfg, "num_frames", 16), 543, 3)
+            (
+                getattr(model.cfg, "num_frames", 16),
+                getattr(model.cfg, "num_landmarks", 543),
+                getattr(model.cfg, "landmark_dim", 3),
+            )
             if model.takes_landmarks else None
         )
         self._thread = threading.Thread(
