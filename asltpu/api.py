@@ -30,6 +30,7 @@ from asltpu.config import (
     get_config,
 )
 from asltpu.data.decode import DecodePool, decode_clip
+from asltpu.data.pad import pad_to_batch
 from asltpu.data.prefetch import Prefetcher
 from asltpu.models import (
     I3D,
@@ -461,7 +462,10 @@ def _dummy_inputs(
     hw = min(init_spatial, pp.crop) if init_spatial else pp.crop
     clip = jnp.zeros((1, pp.num_frames, hw, hw, 3), jnp.float32)
     if isinstance(cfg, TwoStreamFusionConfig):
-        lm = jnp.zeros((1, cfg.num_frames, cfg.num_landmarks, cfg.landmark_dim),
+        # Landmark T must match the CLIP's T (pp.num_frames) — that is the
+        # alignment TwoStreamFusion.__call__ validates; cfg.num_frames is a
+        # synced mirror (config.get_config) kept for introspection only.
+        lm = jnp.zeros((1, pp.num_frames, cfg.num_landmarks, cfg.landmark_dim),
                        jnp.float32)
         return clip, lm
     return (clip,)
@@ -597,12 +601,9 @@ def stream_predict(
                 ]
                 if not loaded:
                     continue
-                lms = np.stack([lm for _, lm in loaded])
-                pad = batch_size - len(loaded)
-                if pad:
-                    lms = np.concatenate(
-                        [lms, np.repeat(lms[-1:], pad, axis=0)]
-                    )
+                lms = pad_to_batch(
+                    np.stack([lm for _, lm in loaded]), batch_size
+                )
                 yield (lms, np.asarray([k for k, _ in loaded], np.int32))
 
         with Prefetcher(host_batches(), depth=prefetch_depth) as pf:
@@ -647,16 +648,10 @@ def stream_predict(
                 if not loaded:
                     continue
                 rows = [row for _, row, _ in loaded]
-                frames_sel = frames[rows]
-                lms = np.stack([lm for _, _, lm in loaded])
-                pad = frames.shape[0] - len(loaded)
-                if pad > 0:
-                    frames_sel = np.concatenate(
-                        [frames_sel, np.repeat(frames_sel[-1:], pad, axis=0)]
-                    )
-                    lms = np.concatenate(
-                        [lms, np.repeat(lms[-1:], pad, axis=0)]
-                    )
+                frames_sel = pad_to_batch(frames[rows], frames.shape[0])
+                lms = pad_to_batch(
+                    np.stack([lm for _, _, lm in loaded]), frames.shape[0]
+                )
                 kept = [k for k, _, _ in loaded]
                 yield (frames_sel, lms, np.asarray(kept, np.int32))
             else:

@@ -223,16 +223,23 @@ def _stream_e2e(pool, fn, variables, corpus, batch, n_windows=3):
     """One continuous decode→put→exec stream over ``corpus``.
 
     Returns (window_rates, overall_rate, device_pipeline_rate,
-    window_detail): the stream is cut into ``n_windows`` contiguous
-    batch-groups; window 0 includes the pipeline-fill bubble (decode-ahead
-    has nothing buffered yet), later windows are steady state.
+    window_detail, fill_seconds): the stream is cut into ``n_windows``
+    contiguous batch-groups; window 0 includes the pipeline-fill bubble
+    (decode-ahead has nothing buffered yet), later windows are steady
+    state. ``fill_seconds`` is the time from stream start to the FIRST
+    decoded batch — it separates the pipeline's design cost (fill) from
+    host state in window 0's rate (VERDICT r3 weak #4: fill cost and
+    quota-refill slope were conflated there).
     """
     import jax
 
     events = []  # (t_done, n_kept, dev_seconds)
     t_start = time.perf_counter()
     t_prev = t_start
+    fill_s = None
     for frames, kept in pool.map_batches(corpus, batch):
+        if fill_s is None:
+            fill_s = time.perf_counter() - t_start
         td = time.perf_counter()
         dev = jax.device_put(frames)
         jax.block_until_ready(dev)
@@ -242,7 +249,7 @@ def _stream_e2e(pool, fn, variables, corpus, batch, n_windows=3):
         events.append((t_prev, t_now, len(kept), t_now - td))
         t_prev = t_now
     if not events:
-        return [], 0.0, 0.0, []
+        return [], 0.0, 0.0, [], None
     total_n = sum(e[2] for e in events)
     total_t = events[-1][1] - t_start
     dev_t = sum(e[3] for e in events)
@@ -269,7 +276,83 @@ def _stream_e2e(pool, fn, variables, corpus, batch, n_windows=3):
         total_n / max(total_t, 1e-9),
         total_n / max(dev_t, 1e-9),
         detail,
+        round(fill_s, 3) if fill_s is not None else None,
     )
+
+
+def _stream_with_retry(
+    pool,
+    fn,
+    variables,
+    corpus,
+    batch,
+    n_windows,
+    tmp,
+    retry_prefix,
+    frame_size,
+    retry_seed,
+    link_settle,
+    sel,
+    key_prefix="e2e_",
+):
+    """One timed stream under the FULL measurement discipline: contiguous
+    windows, median value, poisoned-sample classification, and ONE retry on
+    a fresh corpus with both attempts reported (VERDICT r3 item #2 extended
+    this — previously headline-only — discipline to every reported stream;
+    the driver's own r03 capture showed the realistic lane reporting a
+    textbook drained-state sample, 6.7 vs a healthy ~26 clips/s, unretried).
+
+    Returns (win_rates, median, overall, device_pipeline_cps, detail,
+    fill_seconds, extras) — ``extras`` carries the ``key_prefix``-namespaced
+    first-attempt/retry evidence when a retry happened."""
+    win, overall, dev_cps, det, fill_s = _stream_e2e(
+        pool, fn, variables, corpus, batch, n_windows=n_windows)
+    med = statistics.median(win) if win else 0.0
+    extras = {}
+    trigger = poisoned_sample(win, med, sel)
+    sel_best = max(
+        (r for r in sel.values() if isinstance(r, (int, float))),
+        default=None,
+    )
+    if link_settle and trigger:
+        extras[key_prefix + "first_attempt_windows"] = win
+        extras[key_prefix + "first_attempt_link_mbps"] = round(
+            _probe_link_mbps(), 1)
+        extras[key_prefix + "retry_trigger"] = trigger
+        # Encode the retry corpus BEFORE the settle (not after): writing
+        # len(corpus) synthetic files is exactly the heavy host burst the
+        # corpus-ordering comment in main() describes, and the settle's
+        # idle (min_idle_s) must refill the CPU quota it drains — otherwise
+        # the retry stream re-starts in the very starved state being
+        # retried.
+        corpus2 = _make_corpus(
+            tmp, retry_prefix, len(corpus), frame_size, retry_seed)
+        extras[key_prefix + "retry_settle"] = _wait_link_healthy(
+            min(link_settle, 240.0), min_idle_s=45.0)
+        # A starvation episode can outlast the link settle (the two budgets
+        # are independent: relay transfer vs hypervisor CPU). Wait, bounded,
+        # for the HOST to recover too — probe with the same pool on fresh
+        # files (repeat decodes run ~2.4× faster and would fake recovery)
+        # until it again sustains ≥0.5× its own reference rate.
+        if trigger == "uniform_starvation" and sel_best:
+            t_cpu = time.perf_counter()
+            seed, rate = retry_seed + 11000, 0.0
+            while time.perf_counter() - t_cpu < 150.0:
+                probe = _make_corpus(
+                    tmp, f"{retry_prefix}cpu{seed}_", 8, frame_size, seed)
+                seed += 8
+                tp = time.perf_counter()
+                n = sum(len(k) for _, k in pool.map_batches(probe, 8))
+                rate = n / (time.perf_counter() - tp)
+                if rate >= 0.5 * sel_best:
+                    break
+                time.sleep(20)
+            extras[key_prefix + "retry_cpu_probe_clips_per_sec"] = round(
+                rate, 2)
+        win, overall, dev_cps, det, fill_s = _stream_e2e(
+            pool, fn, variables, corpus2, batch, n_windows=n_windows)
+        med = statistics.median(win) if win else 0.0
+    return win, med, overall, dev_cps, det, fill_s, extras
 
 
 def main() -> int:
@@ -305,6 +388,9 @@ def main() -> int:
                          "(real WLASL sources are ≥480p; measured by "
                          "default so the 256² headline can't hide decode "
                          "cost)")
+    ap.add_argument("--no-serve", action="store_true",
+                    help="skip the PredictServer throughput/latency probe "
+                         "(closed-loop concurrent load at --batch clients)")
     ap.add_argument("--no-contract-path", action="store_true",
                     help="skip the fused-Pallas one-program contract-path "
                          "measurement (runs last; its first execution "
@@ -454,54 +540,14 @@ def main() -> int:
         profiler_trace(args.trace) if args.trace else contextlib.nullcontext()
     )
     with trace_cm:
-        win_rates, e2e_overall, dev_pipeline_cps, win_detail = (
-            _stream_e2e(pool, fn, model.variables, corpus, args.batch,
-                        n_windows=args.windows))
-    e2e_cps = statistics.median(win_rates) if win_rates else 0.0
-    retried = {}
-    # Poisoned-run retry: see poisoned_sample for the two measured
-    # poisoning modes and the retry contract (one retry, fresh corpus,
-    # both attempts reported, the retry's result stands whatever it is).
-    retry_trigger = poisoned_sample(win_rates, e2e_cps, sel)
-    starved = retry_trigger == "uniform_starvation"
-    sel_best = max(
-        (r for r in sel.values() if isinstance(r, (int, float))),
-        default=None,
-    )
-    if args.link_settle and retry_trigger:
-        retried["e2e_first_attempt_windows"] = win_rates
-        retried["e2e_first_attempt_link_mbps"] = round(_probe_link_mbps(), 1)
-        retried["e2e_retry_trigger"] = retry_trigger
-        # Encode the retry corpus BEFORE the settle (not after): writing
-        # args.clips synthetic files is exactly the heavy host burst the
-        # corpus-ordering comment above describes, and the settle's idle
-        # (min_idle_s) must refill the CPU quota it drains — otherwise the
-        # retry stream re-starts in the very starved state being retried.
-        corpus2 = _make_corpus(tmp, "retry", args.clips, (256, 256), 9000)
-        retried["e2e_retry_settle"] = _wait_link_healthy(
-            min(args.link_settle, 240.0), min_idle_s=45.0)
-        # A starvation episode can outlast the link settle (the two budgets
-        # are independent: relay transfer vs hypervisor CPU). Wait, bounded,
-        # for the HOST to recover too — probe with the same pool on fresh
-        # files (repeat decodes run ~2.4× faster and would fake recovery)
-        # until it again sustains ≥0.5× its own selection-probe rate.
-        if starved:
-            t_cpu = time.perf_counter()
-            seed, rate = 20000, 0.0
-            while time.perf_counter() - t_cpu < 150.0:
-                probe = _make_corpus(tmp, f"cpu{seed}_", 8, (256, 256), seed)
-                seed += 8
-                tp = time.perf_counter()
-                n = sum(len(k) for _, k in pool.map_batches(probe, 8))
-                rate = n / (time.perf_counter() - tp)
-                if rate >= 0.5 * sel_best:
-                    break
-                time.sleep(20)
-            retried["e2e_retry_cpu_probe_clips_per_sec"] = round(rate, 2)
-        win_rates, e2e_overall, dev_pipeline_cps, win_detail = (
-            _stream_e2e(pool, fn, model.variables, corpus2, args.batch,
-                        n_windows=args.windows))
-        e2e_cps = statistics.median(win_rates) if win_rates else 0.0
+        # Poisoned-run retry: see poisoned_sample for the two measured
+        # poisoning modes and the retry contract (one retry, fresh corpus,
+        # both attempts reported, the retry's result stands whatever it is).
+        (win_rates, e2e_cps, e2e_overall, dev_pipeline_cps, win_detail,
+         e2e_fill_s, retried) = _stream_with_retry(
+            pool, fn, model.variables, corpus, args.batch, args.windows,
+            tmp, "retry", (256, 256), 9000, args.link_settle, sel,
+            key_prefix="e2e_")
     spread = (
         round(max(win_rates) / max(min(win_rates), 1e-9), 2)
         if win_rates else None
@@ -537,7 +583,7 @@ def main() -> int:
         paths480_a = _make_corpus(tmp, "c480a_", 32, (480, 640), 100)
         paths480_b = _make_corpus(tmp, "c480b_", 32, (480, 640), 2000)
         paths480_c = _make_corpus(tmp, "c480c_", 32, (480, 640), 3000)
-        paths480_d = _make_corpus(tmp, "c480d_", 48, (480, 640), 4000)
+        paths480_d = _make_corpus(tmp, "c480d_", 64, (480, 640), 4000)
         realistic["decode_only_480p_clips_per_sec"] = _decode_rate(
             pp, args.batch, args.decode_workers,
             "native" if args.decode_backend == "auto" else args.decode_backend,
@@ -577,6 +623,14 @@ def main() -> int:
                 break
             except Exception:
                 continue
+        # Poisoning reference for the realistic lanes: the same-run 480p
+        # decode-only rates measured above (the realistic analogue of the
+        # headline's selection probes).
+        sel480 = {
+            "decode_only_480p": realistic.get("decode_only_480p_clips_per_sec"),
+            "decode_only_480p_av": r_av,
+            "decode_only_480p_av_fast": r_av_fast,
+        }
         if p480 is None:
             # Every backend failed to construct (e.g. the native .so became
             # unloadable between the probes above and here): record the
@@ -584,21 +638,29 @@ def main() -> int:
             # measurements.
             realistic["e2e_realistic_error"] = "no decode backend available"
         else:
-            rr, r_overall, _, rdet = _stream_e2e(
-                p480, fn, model.variables, paths480_d, args.batch,
-                n_windows=2)
+            (rr, r_med, r_overall, _, rdet, r_fill, r_extras) = (
+                _stream_with_retry(
+                    p480, fn, model.variables, paths480_d, args.batch, 3,
+                    tmp, "r480_", (480, 640), 40000, args.link_settle,
+                    sel480, key_prefix="e2e_realistic_"))
             p480.shutdown()
-            realistic["e2e_realistic_clips_per_sec"] = round(r_overall, 2)
+            # Median window (the headline's discipline), not the overall
+            # rate: window 0 carries the fill bubble by design.
+            realistic["e2e_realistic_clips_per_sec"] = round(r_med, 2)
+            realistic["e2e_realistic_overall_clips_per_sec"] = round(
+                r_overall, 2)
             realistic["e2e_realistic_windows"] = rr
             realistic["e2e_realistic_detail"] = rdet
+            realistic["e2e_realistic_fill_seconds"] = r_fill
             realistic["e2e_realistic_backend"] = type(p480).__name__ + (
                 ":av" if getattr(p480, "lib", "") == "av" else "")
+            realistic.update(r_extras)
         # Same pipeline with the codec-level fast modes (lowres + filter
         # skip; approximate decode — parity measured separately in
         # tests/unit/test_decode_av.py): the e2e rate when decode WORK is
         # cut, not just parallelized.
         if r_av_fast is not None:
-            paths480_e = _make_corpus(tmp, "c480e_", 48, (480, 640), 5000)
+            paths480_e = _make_corpus(tmp, "c480e_", 64, (480, 640), 5000)
             from asltpu import native as _natf
 
             pf = make_decode_pool(
@@ -608,13 +670,79 @@ def main() -> int:
                 fset = _wait_link_healthy(min(args.link_settle, 120.0),
                                           min_idle_s=45.0)
                 realistic["e2e_realistic_fast_link_mbps"] = fset["link_mbps"]
-            rrf, rf_overall, _, rfdet = _stream_e2e(
-                pf, fn, model.variables, paths480_e, args.batch, n_windows=2)
+            (rrf, rf_med, rf_overall, _, rfdet, rf_fill, rf_extras) = (
+                _stream_with_retry(
+                    pf, fn, model.variables, paths480_e, args.batch, 3,
+                    tmp, "rf480_", (480, 640), 50000, args.link_settle,
+                    sel480, key_prefix="e2e_realistic_fast_"))
             pf.shutdown()
-            realistic["e2e_realistic_fast_clips_per_sec"] = round(
+            realistic["e2e_realistic_fast_clips_per_sec"] = round(rf_med, 2)
+            realistic["e2e_realistic_fast_overall_clips_per_sec"] = round(
                 rf_overall, 2)
             realistic["e2e_realistic_fast_windows"] = rrf
             realistic["e2e_realistic_fast_detail"] = rfdet
+            realistic["e2e_realistic_fast_fill_seconds"] = rf_fill
+            realistic.update(rf_extras)
+
+    # ---- serving path: PredictServer throughput + latency ---------------
+    # Config #5's "batched streaming inference" as a SERVICE
+    # (``BASELINE.json:10``): closed-loop load with ``--batch`` concurrent
+    # clients (so the dynamic batcher actually fills max_batch-sized
+    # batches), 4 requests per client, per-request submit→result latency.
+    # Requests carry pre-staged frames (decode happens before submit by
+    # design — serve.py's contract), so this measures batching + transfer +
+    # execute, stamped with the link state it ran under.
+    serve_stats = {}
+    if not args.no_serve:
+        import threading as _threading
+
+        from asltpu.serve import PredictServer
+
+        try:
+            if args.link_settle:
+                sset = _wait_link_healthy(min(args.link_settle, 120.0),
+                                          min_idle_s=30.0)
+                serve_stats["serve_link_mbps"] = sset["link_mbps"]
+            server = PredictServer(model, max_batch=args.batch,
+                                   max_delay_ms=10.0)
+            clip1 = _staged_batch(pp, 1)[0]
+            # Warm the batcher thread path once (the jitted fn itself is
+            # already compiled/warm from the headline stream).
+            server.submit(clip1).result(timeout=600)
+            lat: list = []
+            lat_lock = _threading.Lock()
+
+            def _client(rounds=4):
+                for _ in range(rounds):
+                    tq = time.perf_counter()
+                    server.submit(clip1).result(timeout=600)
+                    dt = time.perf_counter() - tq
+                    with lat_lock:
+                        lat.append(dt)
+
+            clients = [_threading.Thread(target=_client)
+                       for _ in range(args.batch)]
+            t0 = time.perf_counter()
+            for c in clients:
+                c.start()
+            for c in clients:
+                c.join()
+            serve_wall = time.perf_counter() - t0
+            server.shutdown()
+            lat_ms = sorted(1e3 * x for x in lat)
+            serve_stats.update({
+                "serve_clips_per_sec": round(len(lat) / serve_wall, 2),
+                "serve_p50_ms": round(lat_ms[len(lat_ms) // 2], 1),
+                "serve_p99_ms": round(
+                    lat_ms[min(len(lat_ms) - 1,
+                               int(round(0.99 * (len(lat_ms) - 1))))], 1),
+                "serve_requests": len(lat),
+                "serve_concurrency": args.batch,
+                "serve_max_batch": args.batch,
+                "serve_avg_batch": round(server.stats.avg_batch_size, 1),
+            })
+        except Exception as e:  # the serve probe must never kill the bench
+            serve_stats["serve_error"] = f"{type(e).__name__}: {e}"
 
     # ---- standalone device loop (r01 definition; upper bound) -----------
     # Runs AFTER e2e: its execution pattern (exec-only on resident input)
@@ -631,8 +759,24 @@ def main() -> int:
     dev_standalone_cps = iters * args.batch / (time.perf_counter() - t0)
     # Link state stamp: a throttled relay (post-e2e budget drain) makes the
     # standalone number garbage in either direction — the stamp lets the
-    # reader discard it honestly instead of comparing it across rounds.
+    # reader discard it honestly. Below ~200 MB/s the per-RPC loop above
+    # measures the RELAY, not the device (r03 recorded 0.76 clips/s for a
+    # ~1900 clips/s path), so the field is SUPPRESSED outright rather than
+    # stamped: a null can't be cross-round-compared by accident (VERDICT
+    # r3 weak #2). The raw sample is kept under a name that says what it is.
     link_after = round(_probe_link_mbps(), 1)
+    standalone = {"device_standalone_clips_per_sec": round(
+        dev_standalone_cps, 2)}
+    if link_after < 200.0:
+        standalone = {
+            "device_standalone_clips_per_sec": None,
+            "device_standalone_suppressed": (
+                f"throttled relay ({link_after} MB/s): per-RPC loop "
+                f"measured {dev_standalone_cps:.2f} clips/s — relay noise, "
+                "not device throughput; see "
+                "device_exec_single_dispatch_clips_per_sec"
+            ),
+        }
     # Third device definition — throttle-IMMUNE: the same math inside one
     # fori_loop dispatch. The only device number that stays valid when the
     # relay throttles per-RPC (the async loop above read 1.57 clips/s in
@@ -692,8 +836,9 @@ def main() -> int:
         "e2e_windows_clips_per_sec": win_rates,
         "e2e_window_spread": spread,
         "e2e_window_detail": win_detail,
+        "e2e_fill_seconds": e2e_fill_s,
         "device_pipeline_clips_per_sec": round(dev_pipeline_cps, 2),
-        "device_standalone_clips_per_sec": round(dev_standalone_cps, 2),
+        **standalone,
         "device_exec_single_dispatch_clips_per_sec": exec_sd_cps,
         "device_exec_single_dispatch_compile_s": exec_sd_compile,
         "link_mbps_after_diagnostics": link_after,
@@ -717,6 +862,7 @@ def main() -> int:
         **sel,
         **retried,
         **realistic,
+        **serve_stats,
         **contract,
     }
     if per_config:

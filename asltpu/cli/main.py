@@ -145,6 +145,7 @@ def cmd_train(args) -> int:
     from asltpu.api import build_module, _dummy_inputs
     from asltpu.config import TrainConfig, get_config
     from asltpu.data.decode import decode_record
+    from asltpu.data.pad import pad_to_batch
     from asltpu.data.wlasl import WLASLIndex, batches_from_records
     from asltpu.train.loop import train
 
@@ -185,6 +186,7 @@ def cmd_train(args) -> int:
         batch_size=args.batch,
         num_steps=args.steps,
         learning_rate=args.lr,
+        **({"warmup_steps": args.warmup} if args.warmup is not None else {}),
         ckpt_dir=args.ckpt_dir,
         log_every=args.log_every,
         ckpt_every=args.ckpt_every,
@@ -247,17 +249,13 @@ def cmd_train(args) -> int:
                     for frames, kept in pool.map_batches(
                         recs, tcfg.batch_size, "skip"
                     ):
-                        labels = np.asarray(
-                            [recs[k].label for k in kept], np.int32
+                        # padded rows repeat the last clip; mirror that
+                        # in the labels so shapes stay static
+                        labels = pad_to_batch(
+                            np.asarray([recs[k].label for k in kept],
+                                       np.int32),
+                            tcfg.batch_size,
                         )
-                        if len(labels) < tcfg.batch_size:
-                            # padded rows repeat the last clip; mirror that
-                            # in the labels so shapes stay static
-                            labels = np.concatenate([
-                                labels,
-                                np.repeat(labels[-1:],
-                                          tcfg.batch_size - len(labels)),
-                            ])
                         yield frames, labels
             finally:
                 pool.shutdown()
@@ -285,16 +283,14 @@ def cmd_train(args) -> int:
             if not eval_cache:
                 for i in range(0, len(eval_records), tcfg.batch_size):
                     recs = eval_records[i : i + tcfg.batch_size]
-                    frames = np.stack([decode_record(r, pp) for r in recs])
-                    labels = np.asarray([r.label for r in recs], np.int32)
-                    pad = tcfg.batch_size - len(recs)
-                    if pad:
-                        frames = np.concatenate(
-                            [frames, np.repeat(frames[-1:], pad, axis=0)]
-                        )
-                        labels = np.concatenate(
-                            [labels, np.full((pad,), -1, np.int32)]
-                        )
+                    frames = pad_to_batch(
+                        np.stack([decode_record(r, pp) for r in recs]),
+                        tcfg.batch_size,
+                    )
+                    labels = pad_to_batch(
+                        np.asarray([r.label for r in recs], np.int32),
+                        tcfg.batch_size, fill=-1,
+                    )
                     eval_cache.append((frames, labels))
             yield from eval_cache
 
@@ -443,6 +439,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=10_000)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup", type=int, default=None,
+                   help="LR warmup steps (default: TrainConfig's 500; a "
+                        "short run wants this well below --steps or the "
+                        "schedule never leaves the ramp)")
     p.add_argument("--ckpt-dir", default="/tmp/asltpu_ckpt")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--log-every", type=int, default=50)

@@ -230,4 +230,23 @@ def get_config(name: str, **overrides) -> ModelConfig:
         overrides["preprocess"] = dataclasses.replace(
             base_pp, **overrides["preprocess"]
         )
+    if cls is TwoStreamFusionConfig:
+        # The fusion model aligns landmarks to the CLIP's frame count
+        # (preprocess.num_frames); the top-level num_frames is a mirror of
+        # it. Keep them consistent so e.g. preprocess={'num_frames': 32}
+        # alone yields a config whose every reader sees T=32, and reject an
+        # explicit contradiction at config time instead of as a misleading
+        # shape error at init/serve time.
+        pp_t = (
+            overrides["preprocess"].num_frames
+            if "preprocess" in overrides
+            else cls().preprocess.num_frames
+        )
+        if "num_frames" in overrides and overrides["num_frames"] != pp_t:
+            raise ValueError(
+                f"two_stream num_frames={overrides['num_frames']} contradicts "
+                f"preprocess.num_frames={pp_t}; the fusion clip and landmark "
+                "frame counts are one value — set preprocess={'num_frames': N}"
+            )
+        overrides["num_frames"] = pp_t
     return cls(**overrides)

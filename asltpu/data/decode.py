@@ -23,6 +23,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from asltpu.config import PreprocessConfig
+from asltpu.data.pad import pad_to_batch
 from asltpu.ops.preprocess import uniform_sample_indices
 
 try:  # cv2 is present in the target environment; keep import lazy-safe.
@@ -334,11 +335,7 @@ class NativeDecodePool:
                     continue
                 good_rows = [j for j in range(len(items)) if ok[j] == 0]
                 frames = frames[good_rows]
-            if frames.shape[0] < batch_size:
-                pad = batch_size - frames.shape[0]
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], pad, axis=0)]
-                )
+            frames = pad_to_batch(frames, batch_size)
             yield frames, kept
 
     def shutdown(self):
@@ -438,9 +435,7 @@ class DecodePool:
                     )
             if not clips:
                 continue
-            while len(clips) < batch_size:
-                clips.append(clips[-1])
-            yield np.stack(clips), kept
+            yield pad_to_batch(np.stack(clips), batch_size), kept
 
     def shutdown(self):
         self._pool.shutdown(wait=False, cancel_futures=True)

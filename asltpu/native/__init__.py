@@ -65,11 +65,13 @@ def _load():
                     check=True, capture_output=True, timeout=300,
                 )
             except Exception as e:  # compiler/SDK missing → Python fallback
+                # Inherited by decode worker processes so they skip the
+                # doomed (up to 300 s) build retry on their first decode
+                # call. The flag gates BUILDS only — when a previously
+                # built .so exists below, children still CDLL it directly.
+                os.environ["ASLTPU_NATIVE_DISABLE"] = "1"
                 if not os.path.exists(_SO):
                     _lib_err = f"native build failed: {e}"
-                    # Inherited by decode worker processes so they skip
-                    # the build retry on their first decode call.
-                    os.environ["ASLTPU_NATIVE_DISABLE"] = "1"
                     return None
                 # A rebuild attempt failed but a previously-built library
                 # exists: load it (possibly stale) rather than losing the
@@ -123,9 +125,11 @@ def _load_av():
                     check=True, capture_output=True, timeout=300,
                 )
             except Exception as e:
+                # As in _load: flag builds off for child processes; a
+                # prebuilt library on disk stays loadable below.
+                os.environ["ASLTPU_NATIVE_AV_DISABLE"] = "1"
                 if not os.path.exists(_SO_AV):
                     _lib_av_err = f"native av build failed: {e}"
-                    os.environ["ASLTPU_NATIVE_AV_DISABLE"] = "1"
                     return None
             if not os.path.exists(_SO_AV):
                 # build.sh ran but produced no av library: the ffmpeg dev

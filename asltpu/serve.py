@@ -90,9 +90,18 @@ class PredictServer:
             (pp.num_frames, *pp.staged_frame_shape)
             if model.takes_rgb and pp is not None else None
         )
+        # Landmark T: for a fusion model the forward validates landmarks
+        # against the CLIP's frame count (preprocess.num_frames), so derive
+        # the expected T from the same source; pose-only models have no
+        # preprocess and use the model config's own num_frames.
+        lm_t = (
+            pp.num_frames
+            if (model.takes_rgb and pp is not None)
+            else getattr(model.cfg, "num_frames", 16)
+        )
         self._lm_shape = (
             (
-                getattr(model.cfg, "num_frames", 16),
+                lm_t,
                 getattr(model.cfg, "num_landmarks", 543),
                 getattr(model.cfg, "landmark_dim", 3),
             )
@@ -170,21 +179,19 @@ class PredictServer:
         return batch
 
     def _assemble(self, reqs: List[_Request]) -> Tuple[Any, ...]:
-        pad = self.max_batch - len(reqs)
+        from asltpu.data.pad import pad_to_batch
+
         args = []
         if self.model.takes_rgb:
-            frames = np.stack([r.frames for r in reqs])
-            if pad:
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], pad, axis=0)]
-                )
-            args.append(frames)
+            args.append(pad_to_batch(
+                np.stack([r.frames for r in reqs]), self.max_batch
+            ))
         if self.model.takes_landmarks:
-            lms = np.stack([r.landmarks for r in reqs]).astype(np.float32)
-            if pad:
-                lms = np.concatenate([lms, np.repeat(lms[-1:], pad, axis=0)])
-            args.append(lms)
-        self.stats.padded_slots += pad
+            args.append(pad_to_batch(
+                np.stack([r.landmarks for r in reqs]).astype(np.float32),
+                self.max_batch,
+            ))
+        self.stats.padded_slots += self.max_batch - len(reqs)
         return tuple(args)
 
     def _loop(self):

@@ -118,7 +118,7 @@ def test_e2e_pipeline_floor(tmp_path):
             for frames, _ in pool.map_batches(paths[:8], 8):
                 jax.block_until_ready(
                     fn(model.variables, jax.device_put(frames)))
-            rates, overall, dev_cps, _ = _stream_e2e(
+            rates, overall, dev_cps, _, _fill = _stream_e2e(
                 pool, fn, model.variables, paths[8:], 8, n_windows=1)
         finally:
             pool.shutdown()
@@ -138,6 +138,53 @@ def test_e2e_pipeline_floor(tmp_path):
     raise AssertionError(
         f"e2e/device pipeline regressed across 3 attempts "
         f"(overall, in-pipeline device) clips/s: {results}"
+    )
+
+
+# Throttle-immune floors (VERDICT r3 item #3): the single-dispatch method
+# (all iterations inside ONE lax.fori_loop dispatch, scalar host fetch) is
+# valid in ANY relay-link state, so the 20×-host-variance excuse for loose
+# floors does not apply — these gates are TIGHT (~75% of recorded).
+# Recorded on 1× TPU v5 lite, batch 32 (2026-08-17/19 runs):
+#   headline yuv420 split-chain exec: 1720–1932 clips/s → floor 1450
+#   contract fused-Pallas one-program exec: 1667–1857 clips/s → floor 1400
+EXEC_SINGLE_DISPATCH_FLOOR = 1450.0
+FUSED_PALLAS_EXEC_FLOOR = 1400.0
+
+
+@pytest.mark.skipif(not TPU, reason="perf gate runs on TPU only")
+@pytest.mark.slow
+def test_exec_single_dispatch_floor():
+    """Tight gate on the headline configuration's device math (preprocess →
+    MobileNetV2 → GRU on yuv420 staging), throttle-immune measurement."""
+    from asltpu.api import load_model
+    from asltpu.benchmark import _exec_single_dispatch_cps
+
+    model = load_model(
+        "mobilenet_gru", prefer_split=True,
+        preprocess={"host_resize_short": 256, "staging_size": (224, 224),
+                    "resize_short": 224, "staging_format": "yuv420"},
+    )
+    cps, compile_s = _exec_single_dispatch_cps(model, 32)
+    assert cps > EXEC_SINGLE_DISPATCH_FLOOR, (
+        f"single-dispatch device path regressed: {cps:.0f} clips/s "
+        f"(floor {EXEC_SINGLE_DISPATCH_FLOOR:.0f}; compile {compile_s}s)"
+    )
+
+
+@pytest.mark.skipif(not TPU, reason="perf gate runs on TPU only")
+@pytest.mark.slow
+def test_fused_pallas_exec_floor():
+    """Tight gate on the contract path (fused Pallas preprocess inside ONE
+    XLA program, RGB staging — ``BASELINE.json:4``), throttle-immune."""
+    from asltpu.api import load_model
+    from asltpu.benchmark import _exec_single_dispatch_cps
+
+    model = load_model("mobilenet_gru")  # contract defaults: RGB + Pallas
+    cps, compile_s = _exec_single_dispatch_cps(model, 32)
+    assert cps > FUSED_PALLAS_EXEC_FLOOR, (
+        f"fused-Pallas contract path regressed: {cps:.0f} clips/s "
+        f"(floor {FUSED_PALLAS_EXEC_FLOOR:.0f}; compile {compile_s}s)"
     )
 
 

@@ -75,15 +75,19 @@ def test_stream_e2e_window_accounting():
     def fn(variables, frames):
         return frames.sum()  # cheap; jax.block_until_ready accepts arrays
 
-    rates, overall, dev_cps, detail = _stream_e2e(
+    rates, overall, dev_cps, detail, fill_s = _stream_e2e(
         FakePool(), fn, None, [f"c{i}" for i in range(20)], 8, n_windows=3)
     assert len(rates) == 3 == len(detail)
     assert sum(d["clips"] for d in detail) == 20
     assert all(d["device_seconds"] <= d["seconds"] + 1e-6 for d in detail)
     assert overall > 0 and dev_cps > 0
+    # Fill time (start → first decoded batch) is separable from window 0's
+    # rate and bounded by window 0's wall time.
+    assert fill_s is not None and 0 <= fill_s <= detail[0]["seconds"] + 1e-6
     # Degenerate cases: empty corpus, fewer batches than windows.
-    assert _stream_e2e(FakePool(), fn, None, [], 8) == ([], 0.0, 0.0, [])
-    rates1, _, _, detail1 = _stream_e2e(
+    assert _stream_e2e(FakePool(), fn, None, [], 8) == (
+        [], 0.0, 0.0, [], None)
+    rates1, _, _, detail1, _ = _stream_e2e(
         FakePool(), fn, None, ["a", "b"], 8, n_windows=3)
     assert len(rates1) == 1 and detail1[0]["clips"] == 2
 

@@ -329,3 +329,44 @@ def test_make_decode_pool_rejects_unknown_backend_and_stray_fast_flags():
         make_decode_pool(cfg, backend="AV")
     with pytest.raises(ValueError, match="fast_flags"):
         make_decode_pool(cfg, backend="thread", fast_flags=1)
+
+
+def test_pad_to_batch():
+    """The ONE shared pad implementation (asltpu/data/pad.py) — every
+    compiled-batch lane pads through it (round-4 consolidation of ~6
+    divergent copies; round 3 found a real bug in this idiom family)."""
+    import pytest
+
+    from asltpu.data.pad import pad_to_batch
+
+    frames = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    out = pad_to_batch(frames, 5)
+    assert out.shape == (5, 3, 4) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out[2], frames[-1])  # repeated last row
+    np.testing.assert_array_equal(out[4], frames[-1])
+    np.testing.assert_array_equal(out[:2], frames)
+
+    # Full batch: unchanged, and no copy made.
+    assert pad_to_batch(frames, 2) is frames
+
+    # Scalar fill (labels padded with -1 so eval masks the pad rows).
+    labels = np.asarray([3, 1], np.int32)
+    out = pad_to_batch(labels, 4, fill=-1)
+    np.testing.assert_array_equal(out, [3, 1, -1, -1])
+    assert out.dtype == np.int32
+
+    # Landmark-shaped float rows pad identically to frames (the fusion
+    # lanes pad both from one implementation).
+    lms = np.random.default_rng(0).normal(size=(3, 5, 3)).astype(np.float32)
+    out = pad_to_batch(lms, 4)
+    np.testing.assert_array_equal(out[3], lms[-1])
+
+    with pytest.raises(ValueError, match="empty"):
+        pad_to_batch(np.zeros((0, 3)), 4)
+    with pytest.raises(ValueError, match="more than"):
+        pad_to_batch(np.zeros((5, 3)), 4)
+    with pytest.raises(ValueError, match="fill"):
+        pad_to_batch(frames, 4, fill="zeros")
+    # Empty + scalar fill IS allowed (no row needed to repeat).
+    out = pad_to_batch(np.zeros((0,), np.int32), 2, fill=-1)
+    np.testing.assert_array_equal(out, [-1, -1])

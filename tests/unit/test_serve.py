@@ -73,6 +73,39 @@ def test_serve_pose_model():
         server.shutdown()
 
 
+def test_serve_fusion_overridden_num_frames():
+    """Regression (round-4 ADVICE #1): for a fusion model built with only a
+    preprocess num_frames override, the clip T (preprocess.num_frames) is
+    the landmark T the forward validates — submit() must accept exactly
+    those requests, and the config mirror field must stay in sync."""
+    from asltpu.config import get_config
+
+    model = api.load_model(
+        "two_stream", num_classes=6, d_model=32, num_heads=2,
+        num_fusion_layers=1,
+        preprocess={"num_frames": 8, "staging_size": (64, 64),
+                    "resize_short": 56, "crop": 48},
+    )
+    assert model.cfg.num_frames == 8  # mirror synced by get_config
+    server = PredictServer(model, max_batch=2, max_delay_ms=5)
+    try:
+        frames = np.random.default_rng(0).integers(
+            0, 256, size=(8, 64, 64, 3), dtype=np.uint8
+        )
+        lm = synthetic_landmarks(1, 8, seed=0)[0]
+        gloss, logits = server.submit(frames, lm).result(timeout=120)
+        assert logits.shape == (6,) and np.isfinite(logits).all()
+        # T=16 landmarks (the old, wrongly-derived expectation) now reject.
+        with pytest.raises(ValueError, match="landmarks shape"):
+            server.submit(frames, synthetic_landmarks(1, 16, seed=0)[0])
+    finally:
+        server.shutdown()
+    # An explicit num_frames contradicting preprocess fails at CONFIG time.
+    with pytest.raises(ValueError, match="contradicts"):
+        get_config("two_stream", num_frames=4,
+                   preprocess={"num_frames": 8})
+
+
 def test_serve_validates_inputs(rgb_model):
     server = PredictServer(rgb_model, max_batch=2)
     try:
