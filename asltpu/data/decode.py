@@ -315,12 +315,29 @@ class NativeDecodePool:
             (i, paths[i : i + batch_size])
             for i in range(0, len(paths), batch_size)
         ]
-        # One batch of native decode in flight ahead of the consumer.
-        fut = self._pipeline.submit(self._decode, chunks[0][1]) if chunks else None
+        # ``decode_ahead`` chunks of native decode in flight ahead of the
+        # consumer. Depth 2 (default) takes the NEXT chunk's Python-side
+        # prologue (ctypes marshalling, output allocation) off the critical
+        # path: with depth 1 it runs only after the consumer fetches the
+        # previous result, so it lands between chunks while the native
+        # threads idle — the round-3 steady-e2e vs decode-only gap (144.9
+        # vs 153.7 clips/s). Measured 2026-08-19 on the TPU host with an
+        # interleaved (1,2,2,1) A/B on fresh corpora
+        # (tools/probe_stream_gap.py --ab): depth 1 → 94.8/97.2 clips/s,
+        # depth 2 → 113.8/112.9 — +18%. Cost: one extra ~35 MB decoded
+        # batch resident. The single pipeline worker still decodes chunks
+        # strictly in order.
+        ahead = max(1, int(getattr(self, "decode_ahead", 2)))
+        futs = [
+            self._pipeline.submit(self._decode, chunks[k][1])
+            for k in range(min(ahead, len(chunks)))
+        ]
         for ci, (base, items) in enumerate(chunks):
-            frames, ok = fut.result()
-            if ci + 1 < len(chunks):
-                fut = self._pipeline.submit(self._decode, chunks[ci + 1][1])
+            frames, ok = futs[ci].result()
+            futs[ci] = None  # a Future pins its 30-40 MB result array
+            nxt = ci + ahead
+            if nxt < len(chunks):
+                futs.append(self._pipeline.submit(self._decode, chunks[nxt][1]))
             kept = [base + j for j in range(len(items)) if ok[j] == 0]
             if len(kept) < len(items):
                 bad = [p for j, p in enumerate(items) if ok[j] != 0]
