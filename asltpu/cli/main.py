@@ -5,6 +5,7 @@ Usage:
   python -m asltpu.cli predict CLIP.mp4 [--model mobilenet_gru] [--ckpt DIR]
   python -m asltpu.cli train --model i3d --index WLASL.json --videos DIR ...
   python -m asltpu.cli eval  --model ... --index ... --videos DIR --split test
+  python -m asltpu.cli export --model ... --out DIR [--verify-clip CLIP.mp4]
   python -m asltpu.cli bench [bench.py args...]
 """
 
@@ -85,6 +86,8 @@ def cmd_predict(args) -> int:
     missing = [c for c in args.clips if not os.path.exists(c)]
     if missing:
         raise SystemExit(f"error: clip(s) not found: {', '.join(missing)}")
+    if args.exported:
+        return _predict_exported(args)
     # Same flag contract as bench: the codec-level fast modes live in the
     # libav backend only, so --decode-fast implies av and contradicts any
     # other explicit backend — fail/upgrade here, not minutes later inside
@@ -137,6 +140,72 @@ def _top5(logits, gloss_names):
     from asltpu.eval.metrics import topk_entries
 
     return topk_entries(logits, gloss_names)
+
+
+def _predict_exported(args) -> int:
+    """``asl predict --exported DIR clip...`` — run a deployment artifact
+    (asltpu.export): serialized StableHLO program + weights, no model
+    build/compile. One clip at a time through ExportedModel.predict (the
+    batched service path over artifacts is PredictServer over load_model;
+    this is the deployment-artifact demo/debug lane)."""
+    from asltpu import api
+    from asltpu.export import load_exported
+
+    em = load_exported(args.exported)
+    lm_lookup = None
+    if em.takes_landmarks:
+        if not args.landmarks_dir:
+            raise SystemExit(
+                "error: exported model consumes landmarks; pass "
+                "--landmarks-dir with precomputed <video_id>.npy files"
+            )
+        from asltpu.data.landmarks import LandmarkStore
+
+        t = em.preprocess.num_frames if em.preprocess else em.cfg.num_frames
+        lm_lookup = LandmarkStore(args.landmarks_dir).for_path(t)
+    for path in args.clips:
+        kw = {}
+        if em.takes_rgb:
+            kw["frames"] = api.load_clip(path, em.preprocess)
+        if em.takes_landmarks:
+            kw["landmarks"] = lm_lookup(path)
+        gloss, logits = em.predict(**kw)
+        print(json.dumps({
+            "clip": path, "gloss": gloss, "top5": _top5(logits, None),
+        }))
+    return 0
+
+
+def cmd_export(args) -> int:
+    from asltpu.export import export_model, load_exported
+
+    model = _load(args)
+    meta = export_model(model, args.out, batch_size=args.batch)
+    print(json.dumps({
+        "out": args.out,
+        "family": meta["family"],
+        "batch_size": meta["batch_size"],
+        "platforms": meta["platforms"],
+        "inputs": meta["inputs"],
+    }))
+    if args.verify_clip:
+        # Round-trip proof in one command: reload the artifact and run a
+        # real clip through the serialized program.
+        from asltpu import api
+
+        em = load_exported(args.out)
+        if em.takes_landmarks:
+            raise SystemExit(
+                "error: --verify-clip supports RGB-only models (landmark "
+                "inputs need --landmarks-dir; use asl predict --exported)"
+            )
+        clip = api.load_clip(args.verify_clip, em.preprocess)
+        gloss, logits = em.predict(frames=clip)
+        print(json.dumps({
+            "verify_clip": args.verify_clip, "gloss": gloss,
+            "top5": _top5(logits, None),
+        }))
+    return 0
 
 
 def cmd_train(args) -> int:
@@ -430,7 +499,24 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="precomputed <video_id>.npy landmarks (pose/fusion)")
     p.add_argument("--skip-errors", action="store_true",
                    help="skip undecodable clips instead of failing")
+    p.add_argument("--exported", default=None, metavar="DIR",
+                   help="run a deployment artifact (asl export) instead of "
+                        "building a model — no model code or compile")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser(
+        "export",
+        help="serialize the inference program + weights for deployment",
+    )
+    _add_model_args(p)
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--batch", type=int, default=8,
+                   help="fixed program batch size (static shapes; callers "
+                        "pad — same discipline as serving)")
+    p.add_argument("--verify-clip", default=None, metavar="CLIP",
+                   help="after export, reload the artifact and predict this "
+                        "clip through the serialized program (RGB models)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("train", help="train/fine-tune a model")
     _add_model_args(p)
