@@ -294,6 +294,7 @@ def _stream_with_retry(
     link_settle,
     sel,
     key_prefix="e2e_",
+    trace_dir=None,
 ):
     """One timed stream under the FULL measurement discipline: contiguous
     windows, median value, poisoned-sample classification, and ONE retry on
@@ -304,9 +305,24 @@ def _stream_with_retry(
 
     Returns (win_rates, median, overall, device_pipeline_cps, detail,
     fill_seconds, extras) — ``extras`` carries the ``key_prefix``-namespaced
-    first-attempt/retry evidence when a retry happened."""
-    win, overall, dev_cps, det, fill_s = _stream_e2e(
-        pool, fn, variables, corpus, batch, n_windows=n_windows)
+    first-attempt/retry evidence when a retry happened.
+
+    ``trace_dir`` scopes the jax.profiler capture to the TIMED STREAMS
+    only (both attempts when a retry happens) — not the retry apparatus
+    around them (fresh-corpus encode burst, minutes of settle sleeps, CPU
+    recovery probes), which would bloat the capture and bury the stream
+    being profiled."""
+    import contextlib
+
+    from asltpu.utils.profiling import trace as profiler_trace
+
+    def _trace_cm():
+        return (profiler_trace(trace_dir) if trace_dir
+                else contextlib.nullcontext())
+
+    with _trace_cm():
+        win, overall, dev_cps, det, fill_s = _stream_e2e(
+            pool, fn, variables, corpus, batch, n_windows=n_windows)
     med = statistics.median(win) if win else 0.0
     extras = {}
     trigger = poisoned_sample(win, med, sel)
@@ -349,8 +365,9 @@ def _stream_with_retry(
                 time.sleep(20)
             extras[key_prefix + "retry_cpu_probe_clips_per_sec"] = round(
                 rate, 2)
-        win, overall, dev_cps, det, fill_s = _stream_e2e(
-            pool, fn, variables, corpus2, batch, n_windows=n_windows)
+        with _trace_cm():
+            win, overall, dev_cps, det, fill_s = _stream_e2e(
+                pool, fn, variables, corpus2, batch, n_windows=n_windows)
         med = statistics.median(win) if win else 0.0
     return win, med, overall, dev_cps, det, fill_s, extras
 
@@ -534,20 +551,16 @@ def main() -> int:
         d = jax.device_put(frames_w)
         jax.block_until_ready(fn(model.variables, d))
 
-    from asltpu.utils.profiling import trace as profiler_trace
-
-    trace_cm = (
-        profiler_trace(args.trace) if args.trace else contextlib.nullcontext()
-    )
-    with trace_cm:
-        # Poisoned-run retry: see poisoned_sample for the two measured
-        # poisoning modes and the retry contract (one retry, fresh corpus,
-        # both attempts reported, the retry's result stands whatever it is).
-        (win_rates, e2e_cps, e2e_overall, dev_pipeline_cps, win_detail,
-         e2e_fill_s, retried) = _stream_with_retry(
-            pool, fn, model.variables, corpus, args.batch, args.windows,
-            tmp, "retry", (256, 256), 9000, args.link_settle, sel,
-            key_prefix="e2e_")
+    # Poisoned-run retry: see poisoned_sample for the two measured
+    # poisoning modes and the retry contract (one retry, fresh corpus,
+    # both attempts reported, the retry's result stands whatever it is).
+    # --trace scopes the profiler to the timed stream(s) only (the retry
+    # helper enters it around each attempt, not the settles between).
+    (win_rates, e2e_cps, e2e_overall, dev_pipeline_cps, win_detail,
+     e2e_fill_s, retried) = _stream_with_retry(
+        pool, fn, model.variables, corpus, args.batch, args.windows,
+        tmp, "retry", (256, 256), 9000, args.link_settle, sel,
+        key_prefix="e2e_", trace_dir=args.trace)
     spread = (
         round(max(win_rates) / max(min(win_rates), 1e-9), 2)
         if win_rates else None
@@ -583,7 +596,14 @@ def main() -> int:
         paths480_a = _make_corpus(tmp, "c480a_", 32, (480, 640), 100)
         paths480_b = _make_corpus(tmp, "c480b_", 32, (480, 640), 2000)
         paths480_c = _make_corpus(tmp, "c480c_", 32, (480, 640), 3000)
-        paths480_d = _make_corpus(tmp, "c480d_", 64, (480, 640), 4000)
+        # ≥3 batch-events at ANY --batch: _stream_e2e groups whole batches
+        # into windows, so a 64-clip corpus at the default batch 32 yields
+        # only TWO windows — the median then re-weights the fill bubble at
+        # 50% and the bimodal poisoning trigger (median < half best) is
+        # mathematically unreachable. 3×batch keeps the promised ≥3-window
+        # median discipline true at every batch size.
+        n480 = max(64, 3 * args.batch)
+        paths480_d = _make_corpus(tmp, "c480d_", n480, (480, 640), 4000)
         realistic["decode_only_480p_clips_per_sec"] = _decode_rate(
             pp, args.batch, args.decode_workers,
             "native" if args.decode_backend == "auto" else args.decode_backend,
@@ -660,7 +680,7 @@ def main() -> int:
         # tests/unit/test_decode_av.py): the e2e rate when decode WORK is
         # cut, not just parallelized.
         if r_av_fast is not None:
-            paths480_e = _make_corpus(tmp, "c480e_", 64, (480, 640), 5000)
+            paths480_e = _make_corpus(tmp, "c480e_", n480, (480, 640), 5000)
             from asltpu import native as _natf
 
             pf = make_decode_pool(
@@ -699,13 +719,17 @@ def main() -> int:
         from asltpu.serve import PredictServer
 
         def _serve_attempt(timeout_s=240.0):
-            """One closed-loop load attempt. Returns (stats, failure_reason);
-            reason is None on success. Timeouts are BOUNDED (240 s, not the
-            600 s a first cut used): the relay's known wedge mode stalls a
-            single RPC for multiple minutes (measured 378 s on a warm
-            re-dispatch, 2026-08-19), and an unbounded wait spends the whole
-            lane's budget inside one poisoned sample instead of failing fast
-            into the retry below."""
+            """One closed-loop load attempt. Returns (stats, failure_reason,
+            batcher_thread); reason is None on success. Timeouts are BOUNDED
+            (240 s, not the 600 s a first cut used): the relay's known wedge
+            mode stalls a single RPC for multiple minutes (measured 378 s on
+            a warm re-dispatch, 2026-08-19), and an unbounded wait spends the
+            whole lane's budget inside one poisoned sample instead of
+            failing fast into the retry below. The batcher thread is
+            returned so the retry path can wait for a wedged RPC to actually
+            drain — dispatching a second attempt (or ANY device RPC) while
+            the first is still in flight is the overlapping-RPC pattern that
+            wedges this host's relay further (round-2 finding)."""
             server = PredictServer(model, max_batch=args.batch,
                                    max_delay_ms=10.0)
             try:
@@ -715,7 +739,7 @@ def main() -> int:
                 try:
                     server.submit(clip1).result(timeout=timeout_s)
                 except Exception as e:
-                    return {}, f"warm_submit:{type(e).__name__}"
+                    return {}, f"warm_submit:{type(e).__name__}", server._thread
                 lat: list = []
                 fails: list = []
                 lat_lock = _threading.Lock()
@@ -745,6 +769,7 @@ def main() -> int:
                     return (
                         {"serve_requests_completed": len(lat)},
                         f"client_failures:{len(fails)}",
+                        server._thread,
                     )
                 lat_ms = sorted(1e3 * x for x in lat)
                 return {
@@ -757,7 +782,7 @@ def main() -> int:
                     "serve_concurrency": args.batch,
                     "serve_max_batch": args.batch,
                     "serve_avg_batch": round(server.stats.avg_batch_size, 1),
-                }, None
+                }, None, server._thread
             finally:
                 # wait=False: a batcher wedged inside a relay RPC is a
                 # daemon thread — joining it would block the bench for the
@@ -769,16 +794,34 @@ def main() -> int:
                 sset = _wait_link_healthy(min(args.link_settle, 120.0),
                                           min_idle_s=30.0)
                 serve_stats["serve_link_mbps"] = sset["link_mbps"]
-            stats, reason = _serve_attempt()
+            stats, reason, batcher = _serve_attempt()
             if reason is not None and args.link_settle:
                 # Same discipline as every other lane (VERDICT r3 item #2):
-                # classify, settle, retry ONCE, report both attempts.
+                # classify, settle, retry ONCE, report both attempts. BUT:
+                # a failed attempt usually means the batcher thread is
+                # still blocked inside a wedged relay RPC — issuing any new
+                # device RPC (even the link probe) while that one is in
+                # flight is the overlap pattern that wedges the relay
+                # further. Wait, bounded by the longest wedge measured
+                # (378 s → 420 s cap), for the wedge to drain first; if it
+                # never does, SKIP the retry rather than overlap.
                 serve_stats["serve_first_attempt_error"] = reason
-                serve_stats["serve_first_attempt_link_mbps"] = round(
-                    _probe_link_mbps(), 1)
-                serve_stats["serve_retry_settle"] = _wait_link_healthy(
-                    min(args.link_settle, 240.0), min_idle_s=45.0)
-                stats, reason = _serve_attempt()
+                t_drain = time.perf_counter()
+                batcher.join(timeout=420.0)
+                drained = not batcher.is_alive()
+                serve_stats["serve_batcher_drain_s"] = round(
+                    time.perf_counter() - t_drain, 1)
+                if drained:
+                    serve_stats["serve_first_attempt_link_mbps"] = round(
+                        _probe_link_mbps(), 1)
+                    serve_stats["serve_retry_settle"] = _wait_link_healthy(
+                        min(args.link_settle, 240.0), min_idle_s=45.0)
+                    stats, reason, batcher = _serve_attempt()
+                else:
+                    serve_stats["serve_retry_skipped"] = (
+                        "batcher still wedged in a relay RPC after 420 s; "
+                        "a concurrent retry would overlap in-flight RPCs"
+                    )
             serve_stats.update(stats)
             if reason is not None:
                 serve_stats["serve_error"] = reason

@@ -152,6 +152,13 @@ def _predict_exported(args) -> int:
     from asltpu.export import load_exported
 
     em = load_exported(args.exported)
+    gloss_names = None
+    if args.index:
+        from asltpu.data.wlasl import WLASLIndex
+
+        gloss_names = WLASLIndex(
+            args.index, args.videos or "", subset=em.cfg.num_classes
+        ).glosses
     lm_lookup = None
     if em.takes_landmarks:
         if not args.landmarks_dir:
@@ -169,9 +176,9 @@ def _predict_exported(args) -> int:
             kw["frames"] = api.load_clip(path, em.preprocess)
         if em.takes_landmarks:
             kw["landmarks"] = lm_lookup(path)
-        gloss, logits = em.predict(**kw)
+        gloss, logits = em.predict(gloss_names=gloss_names, **kw)
         print(json.dumps({
-            "clip": path, "gloss": gloss, "top5": _top5(logits, None),
+            "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
         }))
     return 0
 

@@ -237,6 +237,12 @@ def get_config(name: str, **overrides) -> ModelConfig:
         # alone yields a config whose every reader sees T=32, and reject an
         # explicit contradiction at config time instead of as a misleading
         # shape error at init/serve time.
+        if "num_frames" in overrides and "preprocess" not in overrides:
+            # One-sided top-level override: unambiguous — sync the clip
+            # pipeline to it (the same one-value rule, other direction).
+            overrides["preprocess"] = dataclasses.replace(
+                cls().preprocess, num_frames=overrides["num_frames"]
+            )
         pp_t = (
             overrides["preprocess"].num_frames
             if "preprocess" in overrides

@@ -131,7 +131,17 @@ def make_handler(server_state):
             if lm.ndim != 3 or lm.shape[1:] != (543, 3):
                 raise ValueError(f"expected [T, 543, 3] landmarks, got "
                                  f"{list(lm.shape)}")
-            nf = getattr(model.cfg, "num_frames", 16)
+            # Same T source as PredictServer.submit's validation: for a
+            # model that also takes RGB (fusion) the forward aligns
+            # landmarks to the CLIP's frame count, preprocess.num_frames —
+            # NOT the top-level mirror field, which a directly-constructed
+            # config (bypassing get_config's sync) can leave stale.
+            pp = getattr(model.cfg, "preprocess", None)
+            nf = (
+                pp.num_frames
+                if (model.takes_rgb and pp is not None)
+                else getattr(model.cfg, "num_frames", 16)
+            )
             if lm.shape[0] != nf:
                 from asltpu.ops.preprocess import uniform_sample_indices
 

@@ -152,3 +152,32 @@ def test_cli_export_and_predict_exported(tmp_path):
     assert os.path.exists(os.path.join(out, "program.stablehlo"))
     rc = main(["predict", "--exported", out, clip])
     assert rc == 0
+
+
+def test_cli_predict_exported_resolves_gloss_names(tmp_path, capsys):
+    """--index must feed gloss names into the exported lane exactly like
+    the normal predict lane (it was silently ignored at first)."""
+    from asltpu.cli.main import main
+    from asltpu.data.synthetic import make_synthetic_wlasl
+
+    index, videos = make_synthetic_wlasl(
+        str(tmp_path / "d"), num_glosses=5, clips_per_gloss=1,
+        num_frames=8, size=(80, 80),
+    )
+    clip = os.path.join(videos, sorted(os.listdir(videos))[0])
+    out = str(tmp_path / "artifact")
+    rc = main([
+        "export", "--model", "mobilenet_gru", "--num-classes", "5",
+        "--set", "width_mult=0.5", "--set", "gru_hidden=16",
+        "--set", "preprocess.num_frames=4",
+        "--set", "preprocess.staging_size=(64,64)",
+        "--set", "preprocess.resize_short=36", "--set", "preprocess.crop=32",
+        "--out", out, "--batch", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["predict", "--exported", out, "--index", index, clip])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(rec["gloss"], str)  # a NAME, not a bare id
+    assert all(isinstance(e["gloss"], str) for e in rec["top5"])

@@ -104,6 +104,10 @@ def test_serve_fusion_overridden_num_frames():
     with pytest.raises(ValueError, match="contradicts"):
         get_config("two_stream", num_frames=4,
                    preprocess={"num_frames": 8})
+    # But a ONE-SIDED top-level override is unambiguous: it syncs the clip
+    # pipeline instead of rejecting (the one-value rule, other direction).
+    cfg = get_config("two_stream", num_frames=8)
+    assert cfg.num_frames == 8 and cfg.preprocess.num_frames == 8
 
 
 def test_serve_validates_inputs(rgb_model):

@@ -173,3 +173,43 @@ def test_fusion_endpoint(tmp_path):
     finally:
         httpd.shutdown()
         predictor.shutdown()
+
+
+def test_fusion_endpoint_stale_mirror_num_frames(tmp_path):
+    """A DIRECTLY-constructed fusion config (bypassing get_config's sync)
+    can carry a stale top-level num_frames mirror. The HTTP landmark
+    resample must follow the same T source PredictServer validates against
+    (preprocess.num_frames) — with the old cfg.num_frames derivation every
+    fusion request on such a config was resampled to the wrong T and
+    rejected with 400."""
+    from asltpu.api import Model, build_module, init_variables
+    from asltpu.config import PreprocessConfig, TwoStreamFusionConfig
+
+    cfg = TwoStreamFusionConfig(
+        num_classes=4, d_model=32, num_heads=2, num_fusion_layers=1,
+        preprocess=PreprocessConfig(num_frames=8, staging_size=(64, 64),
+                                    resize_short=56, crop=48),
+    )  # mirror num_frames stays at the dataclass default (16) — stale
+    assert cfg.num_frames != cfg.preprocess.num_frames
+    module = build_module(cfg)
+    model = Model(cfg=cfg, module=module,
+                  variables=init_variables(module, cfg))
+    httpd, predictor = serve(
+        model, host="127.0.0.1", port=0, max_batch=2, max_delay_ms=5,
+        block=False,
+    )
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        path = str(tmp_path / "s.mp4")
+        write_video(path, num_frames=12, size=(96, 96), seed=11)
+        video = open(path, "rb").read()
+        lm = synthetic_landmarks(1, 20, seed=3)[0]  # T=20 → resample to 8
+        buf = io.BytesIO()
+        np.save(buf, lm)
+        body = len(video).to_bytes(8, "big") + video + buf.getvalue()
+        code, resp = _post(base + "/predict_fusion", body)
+        assert code == 200
+        assert isinstance(resp["gloss"], int)
+    finally:
+        httpd.shutdown()
+        predictor.shutdown()
