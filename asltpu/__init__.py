@@ -13,6 +13,8 @@ Layers (SURVEY.md §1.3):
   - :mod:`asltpu.dist`     — device mesh + sharding (DP over ICI).
   - :mod:`asltpu.train`    — jit-compiled training loop (I3D fine-tune path).
   - :mod:`asltpu.ckpt`     — orbax checkpointing + torch ``.pt/.pth`` import.
+  - :mod:`asltpu.export`   — deployment artifacts (serialized StableHLO
+    inference program + weights; loads and runs with no model code).
 """
 
 __version__ = "0.1.0"

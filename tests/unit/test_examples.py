@@ -30,6 +30,13 @@ def test_train_resume(monkeypatch, capsys):
     assert "finished at step 10" in out
 
 
+def test_export_deploy(monkeypatch, capsys):
+    _run("export_deploy.py", monkeypatch, ASLTPU_EXAMPLE_TINY="1")
+    out = capsys.readouterr().out
+    assert "artifact predict: gloss id" in out
+    assert "matches live model: True" in out
+
+
 def test_sharded_inference(capsys):
     # conftest already runs tests on the 8-device virtual CPU mesh, so the
     # example's in-process CPU forcing is unnecessary here.
