@@ -413,8 +413,17 @@ def main() -> int:
                          "measurement (runs last; its first execution "
                          "degrades the relay link)")
     ap.add_argument(
-        "--all-configs", action="store_true",
-        help="also measure device-path throughput of every model config",
+        "--all-configs", action="store_true", default=None,
+        help="measure device-path throughput of every model family "
+             "(single-dispatch). DEFAULT on a TPU backend (the loop "
+             "compiles are ~1 min/family via the remote service); "
+             "default-off on CPU, where the i3d contract-shape compile "
+             "alone takes many minutes",
+    )
+    ap.add_argument(
+        "--no-all-configs", dest="all_configs", action="store_false",
+        default=None,  # both flags share the dest; None = platform default
+        help="skip the per-family device-path table",
     )
     ap.add_argument(
         "--link-settle", type=float, default=300.0, metavar="SECONDS",
@@ -869,7 +878,10 @@ def main() -> int:
         model, args.batch)
 
     per_config = {}
-    if args.all_configs:
+    run_table = args.all_configs
+    if run_table is None:  # default: TPU yes, CPU no (compile cost)
+        run_table = jax.devices()[0].platform == "tpu"
+    if run_table:
         per_config = _bench_all_configs()
 
     # ---- contract path LAST: fused Pallas one-program predict ----------

@@ -286,6 +286,10 @@ class NativeDecodePool:
         self.fast_flags = fast_flags
         self._n = num_workers
         self._native = native
+        # Chunks of native decode kept in flight ahead of the consumer in
+        # map_batches (see the pipelining comment there; +18% at 2 vs 1,
+        # one extra decoded batch resident per extra level).
+        self.decode_ahead = 2
         self._pipeline = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="asltpu-native-decode"
         )
@@ -327,7 +331,7 @@ class NativeDecodePool:
         # depth 2 → 113.8/112.9 — +18%. Cost: one extra ~35 MB decoded
         # batch resident. The single pipeline worker still decodes chunks
         # strictly in order.
-        ahead = max(1, int(getattr(self, "decode_ahead", 2)))
+        ahead = max(1, int(self.decode_ahead))
         futs = [
             self._pipeline.submit(self._decode, chunks[k][1])
             for k in range(min(ahead, len(chunks)))

@@ -27,8 +27,9 @@ import os
 import pytest
 
 
-@pytest.mark.slow
-def test_train_path_learns_separable_task(tmp_path):
+def _run_learning(tmp_path):
+    """Full CLI train on the separable task; returns the eval trajectory
+    and asserts the invariants shared by both backends."""
     from asltpu.cli.main import main
     from asltpu.data.synthetic import make_separable_wlasl
 
@@ -57,9 +58,29 @@ def test_train_path_learns_separable_task(tmp_path):
     traj = [(int(float(r["step"])), float(r["eval_top1"])) for r in rows]
     final_step, final_top1 = traj[-1]
     assert final_step == 300
-    # Chance is 1/6 ≈ 0.167; the recorded run reached 0.917. Anything below
-    # 0.8 on this seeded setup means the gradient/label path regressed.
+    # Chance is 1/6 ≈ 0.167; the recorded runs reached 0.917 (CPU mesh)
+    # and 0.958 (real TPU). Anything below 0.8 on this seeded setup means
+    # the gradient/label path regressed.
     assert final_top1 >= 0.8, f"training failed to learn: top1 {traj}"
     # Every eval scored the full held-out split (pad rows excluded, none
     # dropped): 6 glosses × 4 val clips.
     assert all(float(r["eval_clips"]) == 24.0 for r in rows)
+    return traj
+
+
+@pytest.mark.slow
+def test_train_path_learns_separable_task(tmp_path):
+    _run_learning(tmp_path)
+
+
+@pytest.mark.slow
+def test_train_path_learns_on_tpu(tmp_path):
+    """The same proof through the REAL device path (remote-compiled train
+    step, device augment, relay transfers). Run with ASLTPU_TEST_TPU=1;
+    skipped on the default CPU mesh. Recorded 2026-08-19: 0.958 final
+    top-1, wall 193 s."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs the real TPU (ASLTPU_TEST_TPU=1)")
+    _run_learning(tmp_path)
