@@ -30,8 +30,17 @@ kernel zero-padded 7→8 and reshaped — no arithmetic:
 
 FLOPs grow 8·4³/7³ ≈ 1.49× (the zero taps), but the contraction depth per
 tap grows 8× and the measured wall time DROPS: 17.5 → 12.6 ms (1.39×) at
-the contract stem shape, worth ~14% of the whole I3D forward. Exactness
-is machine-checked (values AND gradients) in tests/unit/test_stem_s2d.py.
+the contract stem shape — whole-model I3D inference 126 → 156 clips/s and
+train step 112 → 68 ms. Exactness is machine-checked (values AND
+gradients) in tests/unit/test_stem_s2d.py.
+
+Measured NEGATIVE for the 2D stems (2026-08-19, v5e, 512×224² bf16,
+single-dispatch): the same rewrite is SLOWER in 2D — ResNet-18 7×7/s2
+stem 2.21 → 3.25 ms (0.68×), MobileNetV2 3×3/s2 stem 1.14 → 2.50 ms
+(0.46×). XLA's 2D stride-2 conv already runs these small stems well and
+the parity-pack transposes dominate; only the 3D 7³ stem (8× stride
+volume, HALF the model's wall time) is degenerate enough to win. The 2D
+models therefore keep their plain convs.
 """
 
 from __future__ import annotations
