@@ -127,6 +127,62 @@ def try_restore_train_state(directory: str, state):
     return state.replace(**tree)
 
 
+_BEST_METRIC_FILE = "best_metric.json"
+
+
+def save_best_state(
+    directory: str, state, metric: float, metric_name: str = "eval_top1"
+) -> bool:
+    """Model selection (SURVEY.md §5.4): keep ``directory/best/`` = the
+    train state with the HIGHEST ``metric`` seen so far, with the metric
+    recorded beside it. Strictly-greater replaces, so ties keep the
+    earliest (fewest-steps) checkpoint. The comparison reads the previous
+    best from disk, not memory — a resumed run never overwrites a better
+    checkpoint from before the restart with a worse later one.
+
+    ``directory/best/`` has the :func:`save_train_state` layout (one step
+    dir), so :func:`restore_variables` loads it directly for inference via
+    the train-state projection. Returns True when this state became the
+    new best."""
+    import json
+    import shutil
+
+    best_dir = os.path.join(directory, "best")
+    prev = load_best_metric(directory)
+    if prev is not None and prev["metric"] >= metric:
+        return False
+    step = int(state.step)
+    save_variables(best_dir, _state_to_tree(state), step)
+    for d in os.listdir(best_dir):
+        if d.isdigit() and int(d) != step:
+            shutil.rmtree(os.path.join(best_dir, d), ignore_errors=True)
+    # Write-then-rename: a crash mid-write must not leave a best/ whose
+    # recorded metric is garbage (a missing/unreadable file just means the
+    # next eval re-claims best, which is safe).
+    tmp = os.path.join(best_dir, _BEST_METRIC_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"metric": float(metric), "metric_name": metric_name,
+             "step": step},
+            f,
+        )
+    os.replace(tmp, os.path.join(best_dir, _BEST_METRIC_FILE))
+    return True
+
+
+def load_best_metric(directory: str) -> Optional[Dict[str, Any]]:
+    """The ``{"metric", "metric_name", "step"}`` record of
+    ``directory/best/``, or None if no (readable) best exists."""
+    import json
+
+    p = os.path.join(directory, "best", _BEST_METRIC_FILE)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 _DATA_STATE_FILE = "grain_state.bin"
 
 

@@ -427,7 +427,8 @@ def cmd_eval(args) -> int:
     metrics = evaluate_split(
         model, ds.split(args.split), batch_size=args.batch,
         max_clips=args.max_clips, landmarks_for=landmarks_for,
-        skip_errors=args.skip_errors,
+        skip_errors=args.skip_errors, per_class=args.per_class,
+        gloss_names=ds.glosses,
     )
     print(json.dumps(metrics))
     return 0
@@ -573,6 +574,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="precomputed <video_id>.npy landmarks (pose/fusion)")
     p.add_argument("--skip-errors", action="store_true",
                    help="skip undecodable clips instead of failing")
+    p.add_argument("--per-class", action="store_true",
+                   help="also report macro_top1 (mean per-class accuracy — "
+                        "the WLASL literature's class-imbalance-robust "
+                        "aggregate) and the per-gloss breakdown, worst first")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("serve", help="HTTP inference server")

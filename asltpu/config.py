@@ -206,6 +206,10 @@ class TrainConfig:
     ckpt_every: int = 1000
     ckpt_dir: str = "/tmp/asltpu_ckpt"
     ckpt_keep: int = 3
+    # Model selection: besides the rolling last-``ckpt_keep`` step dirs,
+    # keep ``ckpt_dir/best/`` = the checkpoint with the highest eval_top1
+    # (only meaningful when periodic eval runs, i.e. eval_batches is given).
+    keep_best: bool = True
     # Fault injection for resume testing (SURVEY.md §5.3): raise at this step.
     fault_inject_step: int = -1
 

@@ -39,6 +39,60 @@ def topk_accuracy(
     return out
 
 
+def confusion_matrix(
+    logits: np.ndarray, labels: np.ndarray, num_classes: Optional[int] = None
+) -> np.ndarray:
+    """logits [N, C] (or precomputed predictions [N]), labels [N] →
+    [C, C] counts with rows = true class, columns = argmax prediction."""
+    preds = logits if logits.ndim == 1 else np.argmax(logits, axis=-1)
+    if num_classes is None:
+        num_classes = logits.shape[-1] if logits.ndim > 1 else (
+            int(max(preds.max(initial=0), labels.max(initial=0))) + 1
+        )
+    cm = np.zeros((num_classes, num_classes), dtype=np.int64)
+    np.add.at(cm, (labels.astype(np.int64), preds.astype(np.int64)), 1)
+    return cm
+
+
+def per_class_metrics(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    gloss_names: Optional[Sequence[str]] = None,
+) -> Dict:
+    """Per-class recall and the WLASL literature's headline aggregate.
+
+    The published WLASL baselines report MACRO accuracy (mean of per-class
+    accuracies) alongside instance top-k, because the splits are
+    class-imbalanced — a model that aces frequent glosses and fails rare
+    ones scores very differently on the two. Classes with no samples in
+    ``labels`` are excluded from the macro mean (not counted as 0).
+
+    Returns ``{"macro_top1", "per_class": [{gloss, top1, n} ...]}`` with
+    per-class rows only for classes present in ``labels``, sorted by
+    ascending accuracy (worst glosses first — the actionable view)."""
+    cm = confusion_matrix(logits, labels)
+    support = cm.sum(axis=1)
+    present = np.nonzero(support)[0]
+    acc = cm[present, present] / support[present]
+    rows = [
+        {
+            "gloss": (
+                gloss_names[int(c)]
+                if gloss_names is not None and int(c) < len(gloss_names)
+                else int(c)
+            ),
+            "top1": round(float(a), 4),
+            "n": int(support[c]),
+        }
+        for c, a in zip(present, acc)
+    ]
+    rows.sort(key=lambda r: (r["top1"], -r["n"]))
+    return {
+        "macro_top1": float(acc.mean()) if len(acc) else 0.0,
+        "per_class": rows,
+    }
+
+
 def evaluate_split(
     model: Model,
     records: Sequence[ClipRecord],
@@ -47,12 +101,17 @@ def evaluate_split(
     landmarks_for=None,
     max_clips: Optional[int] = None,
     skip_errors: bool = False,
+    per_class: bool = False,
+    gloss_names: Optional[Sequence[str]] = None,
 ) -> Dict[str, float]:
     """Run streaming inference over a WLASL split and report top-1/top-5.
 
     ``skip_errors`` drops undecodable clips (with a logged warning); the
     accuracy denominator counts only evaluated clips and the skipped count
-    is reported."""
+    is reported. ``per_class`` additionally reports ``macro_top1`` (mean
+    per-class accuracy — the WLASL literature's class-imbalance-robust
+    aggregate) and the per-gloss breakdown from
+    :func:`per_class_metrics`."""
     records = [r for r in records if r.path][:max_clips]
     results = list(stream_predict(
         model, records, batch_size=batch_size,
@@ -71,4 +130,6 @@ def evaluate_split(
     metrics = topk_accuracy(logits, labels)
     metrics["num_clips"] = float(len(results))
     metrics["num_skipped"] = float(len(records) - len(results))
+    if per_class:
+        metrics.update(per_class_metrics(logits, labels, gloss_names))
     return metrics

@@ -272,6 +272,12 @@ def train(
             "eval_top5": top5 / max(n, 1),
             "eval_clips": float(n),
         }
+        if train_cfg.keep_best and train_cfg.ckpt_dir:
+            # Model selection: ckpt_dir/best/ tracks the highest eval_top1
+            # (disk-compared, so it survives fault-inject/resume cycles).
+            _ckpt.save_best_state(
+                train_cfg.ckpt_dir, state, metrics["eval_top1"]
+            )
         if metric_writer:
             metric_writer(step, metrics)
         return metrics

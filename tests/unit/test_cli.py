@@ -67,11 +67,18 @@ def test_cli_eval_pose(capsys, landmark_store, tiny_wlasl_module):
         "--index", index,
         "--videos", videos, "--split", "test", "--batch", "2",
         "--landmarks-dir", landmark_store,
+        "--per-class",
     ])
     assert rc == 0
     (metrics,) = rows
-    assert {"top1", "top5", "num_clips"} <= set(metrics)
+    assert {"top1", "top5", "num_clips", "macro_top1", "per_class"} <= set(
+        metrics
+    )
     assert metrics["num_clips"] > 0
+    # Per-gloss rows carry REAL gloss names from the index and the supports
+    # sum to the evaluated clip count.
+    assert all(isinstance(r["gloss"], str) for r in metrics["per_class"])
+    assert sum(r["n"] for r in metrics["per_class"]) == metrics["num_clips"]
 
 
 def test_cli_predict_validates_inputs(tiny_wlasl_module):

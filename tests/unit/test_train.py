@@ -160,6 +160,57 @@ def test_train_with_periodic_eval():
         assert 0.0 <= m["eval_top1"] <= m["eval_top5"] <= 1.0
 
 
+def test_best_checkpoint_tracking(tmp_path):
+    """ckpt_dir/best/ keeps the HIGHEST-eval_top1 state across evals and
+    resume cycles, and loads for inference via restore_variables."""
+    from asltpu import ckpt as _ckpt
+
+    module = build_module(CFG)
+    ckdir = str(tmp_path / "ck")
+    tcfg = TrainConfig(batch_size=8, num_steps=6, warmup_steps=1,
+                       learning_rate=3e-3, log_every=100, eval_every=3,
+                       ckpt_every=10_000, ckpt_dir=ckdir)
+    fixed = _batch(seed=2)
+    evals = []
+
+    def writer(step, metrics):
+        if "eval_top1" in metrics:
+            evals.append((step, metrics["eval_top1"]))
+
+    train(module, tcfg, (fixed for _ in range(6)), DUMMY,
+          metric_writer=writer, eval_batches=lambda: [fixed])
+    best = _ckpt.load_best_metric(ckdir)
+    assert best is not None and best["metric_name"] == "eval_top1"
+    # The recorded best is the max over the eval trajectory, at its step.
+    want_step, want_metric = max(evals, key=lambda e: (e[1], -e[0]))
+    assert best["metric"] == want_metric
+    assert best["step"] == want_step
+
+    # A worse later metric must NOT displace it (disk-compared, so this
+    # holds across process restarts too); a tie keeps the earlier one.
+    state = create_train_state(module, tcfg, DUMMY, seed=0)
+    state = state.replace(step=jnp.asarray(99, jnp.int32))
+    assert not _ckpt.save_best_state(ckdir, state, best["metric"] - 0.1)
+    assert not _ckpt.save_best_state(ckdir, state, best["metric"])
+    assert _ckpt.load_best_metric(ckdir)["step"] == want_step
+
+    # A better one replaces it, and exactly one step dir remains.
+    assert _ckpt.save_best_state(ckdir, state, best["metric"] + 0.1)
+    assert _ckpt.load_best_metric(ckdir)["step"] == 99
+    import os
+    step_dirs = [d for d in os.listdir(os.path.join(ckdir, "best"))
+                 if d.isdigit()]
+    assert step_dirs == ["99"]
+
+    # best/ loads for inference (train-state projection inside
+    # restore_variables).
+    template = {"params": state.params}
+    restored = _ckpt.restore_variables(os.path.join(ckdir, "best"), template)
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eval_step_topk():
     module = build_module(CFG)
     state = create_train_state(module, TCFG, DUMMY, seed=0)
