@@ -188,6 +188,39 @@ def test_fused_pallas_exec_floor():
     )
 
 
+# Per-family floors for the all-configs device-path table (single-dispatch,
+# so valid in any link state — same tightness rationale as above, ~70-75%
+# of recorded). Recorded on 1× v5e 2026-08-19 (two runs):
+#   pose_bilstm 19141.6 / 21677.5   mobilenet_gru 1789.4 / 1841.5
+#   two_stream  1560.2 / 1666.9     resnet_transformer 793.6 / 817.0
+#   i3d 156.0 (post space-to-depth stem rewrite; 126 before)
+PER_FAMILY_FLOORS = {
+    "pose_bilstm": 14000.0,
+    "mobilenet_gru": 1350.0,
+    "two_stream": 1150.0,
+    "resnet_transformer": 600.0,
+    "i3d": 115.0,
+}
+
+
+@pytest.mark.skipif(not TPU, reason="perf gate runs on TPU only")
+@pytest.mark.slow
+def test_per_family_device_floors():
+    """Every model family's contract-shape device path, measured exactly as
+    the bench's all-configs table (one fori_loop dispatch per family). A
+    family that errors fails the gate — the table's catch-all string would
+    otherwise hide a broken family as a quietly absent number."""
+    from asltpu.benchmark import _bench_all_configs
+
+    table = _bench_all_configs()
+    failures = []
+    for family, floor in PER_FAMILY_FLOORS.items():
+        got = table.get(family)
+        if not isinstance(got, (int, float)) or got <= floor:
+            failures.append(f"{family}: {got} (floor {floor:.0f})")
+    assert not failures, f"family device paths regressed: {failures}"
+
+
 @pytest.mark.skipif(not TPU, reason="perf gate runs on TPU only")
 @pytest.mark.slow
 def test_pallas_preprocess_latency():
