@@ -88,6 +88,34 @@ def test_native_skip_errors(tiny_wlasl, tmp_path):
         pool.shutdown()
 
 
+def test_native_pipelined_chunks_match_serial(tiny_wlasl, tmp_path):
+    """map_batches with decode_ahead=2 (the default, two chunks in flight)
+    must yield byte-identical batches, order, and kept indices to serial
+    depth 1 across many chunks — including an undecodable clip mid-corpus
+    under on_error='skip' (the failure lands while the NEXT chunk is
+    already decoding)."""
+    index, videos = tiny_wlasl
+    records = WLASLIndex(index, videos, subset=6).split("train")
+    paths = [r.path for r in records]
+    paths.insert(3, str(tmp_path / "missing.mp4"))  # fails inside chunk 1
+
+    def run(depth):
+        pool = NativeDecodePool(PP_RGB, num_workers=2)
+        pool.decode_ahead = depth
+        try:
+            return list(pool.map_batches(paths, 2, on_error="skip"))
+        finally:
+            pool.shutdown()
+
+    serial, piped = run(1), run(2)
+    assert len(serial) == len(piped) >= 3  # genuinely multi-chunk
+    for (fs, ks), (fp, kp) in zip(serial, piped):
+        assert ks == kp
+        np.testing.assert_array_equal(fs, fp)
+    kept_all = [i for _, k in piped for i in k]
+    assert kept_all == [i for i in range(len(paths)) if i != 3]
+
+
 def test_make_decode_pool_auto_prefers_native():
     pool = make_decode_pool(PP_RGB)
     assert isinstance(pool, NativeDecodePool)
