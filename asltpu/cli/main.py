@@ -87,6 +87,12 @@ def cmd_predict(args) -> int:
     if missing:
         raise SystemExit(f"error: clip(s) not found: {', '.join(missing)}")
     if args.exported:
+        if args.windows is not None:
+            raise SystemExit(
+                "error: --windows runs the batched streaming lane; export "
+                "artifacts are the single-clip deployment lane (build the "
+                "model with --model/--ckpt for continuous recognition)"
+            )
         return _predict_exported(args)
     # Same flag contract as bench: the codec-level fast modes live in the
     # libav backend only, so --decode-fast implies av and contradicts any
@@ -108,7 +114,22 @@ def cmd_predict(args) -> int:
                 "error: --decode-backend av unavailable: "
                 f"{native.av_unavailable_reason()}"
             )
+    if args.windows is not None and args.windows <= 0:
+        raise SystemExit("error: --windows expects a positive duration")
+    if args.windows is not None and args.model in (
+        "pose_bilstm", "two_stream",
+    ):
+        # Continuous recognition needs per-window pose extraction for the
+        # landmark families, which the precompute store doesn't key — fail
+        # BEFORE the minutes-long model compile.
+        raise SystemExit(
+            f"error: --windows supports RGB models; '{args.model}' "
+            "consumes landmarks (per-window pose extraction is not "
+            "wired — see asltpu/windows.py)"
+        )
     model = _load(args)
+    if args.windows is not None:
+        return _predict_windows(args, model)
     landmarks_for = None
     if model.takes_landmarks:
         if not args.landmarks_dir:
@@ -132,6 +153,41 @@ def cmd_predict(args) -> int:
     ):
         print(json.dumps({
             "clip": path, "gloss": gloss, "top5": _top5(logits, gloss_names),
+        }))
+    return 0
+
+
+def _predict_windows(args, model) -> int:
+    """``asl predict --windows S clip...`` — continuous recognition: one
+    JSON line per video with the merged gloss segments and the per-window
+    trace (asltpu.windows)."""
+    from asltpu.data.wlasl import WLASLIndex
+    from asltpu.windows import merge_windows, predict_windows, segments_json
+
+    gloss_names = None
+    if args.index:
+        gloss_names = WLASLIndex(
+            args.index, args.videos or "", subset=model.cfg.num_classes
+        ).glosses
+    for path in args.clips:
+        wins = predict_windows(
+            model, path,
+            window_seconds=args.windows,
+            stride_seconds=args.window_stride,
+            batch_size=args.batch,
+            gloss_names=gloss_names,
+            decode_backend=args.decode_backend,
+            decode_fast=args.decode_fast,
+        )
+        segs = merge_windows(wins, min_prob=args.min_prob)
+        print(json.dumps({
+            "clip": path,
+            "segments": segments_json(segs),
+            "windows": [
+                {"start_s": round(w.start_s, 3), "end_s": round(w.end_s, 3),
+                 "gloss": w.gloss, "prob": round(w.prob, 4)}
+                for w in wins
+            ],
         }))
     return 0
 
@@ -510,6 +566,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--exported", default=None, metavar="DIR",
                    help="run a deployment artifact (asl export) instead of "
                         "building a model — no model code or compile")
+    p.add_argument("--windows", type=float, default=None, metavar="SECONDS",
+                   help="continuous recognition: classify sliding windows "
+                        "of this duration over each video and print merged "
+                        "gloss segments (RGB models; asltpu.windows)")
+    p.add_argument("--window-stride", type=float, default=None,
+                   metavar="SECONDS",
+                   help="window hop (default: half the window — 50%% "
+                        "overlap)")
+    p.add_argument("--min-prob", type=float, default=0.0,
+                   help="windows whose top softmax probability falls below "
+                        "this merge into 'uncertain' segments (gloss null) "
+                        "instead of asserting a gloss")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser(

@@ -32,6 +32,31 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
+def probe_video(path: str) -> Tuple[int, float]:
+    """(frame_count, fps) of a video container — the one metadata read the
+    continuous-recognition window planner (asltpu.windows) needs. Containers
+    that report no frame count are counted by grab() (no decode); a missing
+    or non-positive fps falls back to 25 (the PAL default cv2 itself
+    assumes), so callers always get a usable timebase."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV not available for video probe")
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    try:
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if total <= 0:
+            total = 0
+            while cap.grab():
+                total += 1
+        fps = float(cap.get(cv2.CAP_PROP_FPS) or 0.0)
+        if not (fps > 0):
+            fps = 25.0
+        return total, fps
+    finally:
+        cap.release()
+
+
 def decode_sampled_frames(
     path: str,
     num_frames: int,
