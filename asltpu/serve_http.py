@@ -12,6 +12,15 @@ Endpoints:
                                  8-byte big-endian length of the video part,
                                  the video container bytes, then ``.npy``
                                  landmark bytes ([T, 543, 3]). → same JSON.
+  - ``POST /predict_windows``    continuous recognition
+                                 (``?window_s=2.0[&stride_s=1.0]
+                                 [&min_prob=0.4]``): body = untrimmed video
+                                 bytes; every sliding window decodes on the
+                                 request thread and rides the SHARED dynamic
+                                 batcher (one request's windows — and
+                                 concurrent requests' — co-batch into one
+                                 TPU program). → ``{"segments", "windows"}``
+                                 (asltpu.windows semantics).
   - ``GET /healthz``             liveness + model name
   - ``GET /stats``               batching/latency counters
 
@@ -100,13 +109,18 @@ def make_handler(server_state):
                 length -= len(chunk)
 
         def do_POST(self):
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
             try:
-                if self.path == "/predict":
+                if parsed.path == "/predict":
                     self._predict_video()
-                elif self.path == "/predict_landmarks":
+                elif parsed.path == "/predict_landmarks":
                     self._predict_landmarks()
-                elif self.path == "/predict_fusion":
+                elif parsed.path == "/predict_fusion":
                     self._predict_fusion()
+                elif parsed.path == "/predict_windows":
+                    self._predict_windows(parse_qs(parsed.query))
                 else:
                     self._drain_body()
                     self._json(404, {"error": f"unknown path {self.path}"})
@@ -206,6 +220,103 @@ def make_handler(server_state):
                 frames, landmarks=lm
             ).result(timeout=server_state.timeout_s)
             self._respond_prediction(gloss, logits)
+
+        def _predict_windows(self, query):
+            """Continuous recognition over HTTP (asltpu.windows, served):
+            the body is an UNTRIMMED video; each sliding window decodes
+            here on the request thread (segment-aware — only its sampled
+            frames) and is submitted to the shared dynamic batcher, so the
+            windows co-batch with each other and with concurrent traffic.
+            All windows submit BEFORE the first result wait — the batcher
+            sees the whole request at once."""
+            model = server_state.model
+            if not model.takes_rgb or model.takes_landmarks:
+                self._drain_body()
+                raise ValueError(
+                    "windows need an RGB-consuming (non-fusion) model"
+                )
+
+            def fparam(name, default=None):
+                vals = query.get(name)
+                if not vals:
+                    return default
+                try:
+                    return float(vals[0])
+                except ValueError:
+                    raise ValueError(f"bad {name}: {vals[0]!r}") from None
+
+            window_s = fparam("window_s")
+            if window_s is None or window_s <= 0:
+                self._drain_body()
+                raise ValueError(
+                    "pass ?window_s=<positive seconds> "
+                    "(optional &stride_s=, &min_prob=)"
+                )
+            stride_s = fparam("stride_s")
+            if stride_s is not None and stride_s <= 0:
+                self._drain_body()
+                raise ValueError("stride_s must be positive")
+            min_prob = fparam("min_prob", 0.0)
+
+            from asltpu.data.decode import decode_record, probe_video
+            from asltpu.data.wlasl import ClipRecord
+            from asltpu.windows import (
+                WindowPrediction,
+                enumerate_windows,
+                merge_windows,
+                segments_json,
+            )
+
+            data = self._read_body()
+            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+                f.write(data)
+                tmp = f.name
+            try:
+                total, fps = probe_video(tmp)
+                wf = max(1, int(round(window_s * fps)))
+                sf = (
+                    max(1, int(round(stride_s * fps)))
+                    if stride_s is not None
+                    else max(1, wf // 2)
+                )
+                spans = enumerate_windows(total, wf, sf)
+                pp = model.cfg.preprocess
+                futs = [
+                    server_state.predictor.submit(decode_record(
+                        ClipRecord(video_id=f"win{s}", gloss="", label=-1,
+                                   split="", path=tmp, frame_start=s,
+                                   frame_end=e),
+                        pp,
+                    ))
+                    for s, e in spans
+                ]
+                results = [
+                    f.result(timeout=server_state.timeout_s) for f in futs
+                ]
+            finally:
+                os.unlink(tmp)
+            wins = []
+            for i, ((s, e), (gloss, logits)) in enumerate(zip(spans, results)):
+                z = np.asarray(logits, np.float64)
+                p = np.exp(z - z.max())
+                p /= p.sum()
+                gid = int(z.argmax())
+                wins.append(WindowPrediction(
+                    index=i, start_frame=s, end_frame=e,
+                    start_s=(s - 1) / fps, end_s=e / fps,
+                    gloss_id=gid, gloss=gloss, prob=float(p[gid]),
+                ))
+            self._json(200, {
+                "num_windows": len(wins),
+                "segments": segments_json(merge_windows(
+                    wins, min_prob=min_prob)),
+                "windows": [
+                    {"start_s": round(w.start_s, 3),
+                     "end_s": round(w.end_s, 3),
+                     "gloss": w.gloss, "prob": round(w.prob, 4)}
+                    for w in wins
+                ],
+            })
 
         def _respond_prediction(self, gloss, logits):
             from asltpu.eval.metrics import topk_entries

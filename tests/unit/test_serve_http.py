@@ -77,6 +77,53 @@ def test_predict_bad_inputs(http_server):
     assert e.value.code in (400, 500)  # wrong model for landmarks
 
 
+def test_predict_windows_endpoint(http_server, tmp_path):
+    base, model = http_server
+    path = str(tmp_path / "session.mp4")
+    write_video(path, num_frames=40, size=(96, 96), fps=25, seed=7)
+    code, body = _post(
+        base + "/predict_windows?window_s=0.64&min_prob=0.3",
+        open(path, "rb").read(),
+    )
+    assert code == 200
+    # 40 frames at 25 fps, 0.64 s window (16f), default half stride (8f)
+    # → 4 windows; segments tile them (uncertain pooled, nothing dropped).
+    assert body["num_windows"] == 4
+    assert len(body["windows"]) == 4
+    assert sum(s["num_windows"] for s in body["segments"]) == 4
+    for seg in body["segments"]:
+        assert (seg["gloss"] is None) == (seg["gloss_id"] == -1)
+    # The served lane must agree with the library lane per window.
+    from asltpu.windows import predict_windows
+
+    wins = predict_windows(model, path, window_frames=16, stride_frames=8,
+                           batch_size=4)
+    assert [w["gloss"] for w in body["windows"]] == [
+        f"g{w.gloss_id}" for w in wins]
+    np.testing.assert_allclose(
+        [w["prob"] for w in body["windows"]],
+        [w.prob for w in wins], atol=2e-3)
+
+
+def test_predict_windows_validation(http_server, tmp_path):
+    base, _ = http_server
+    path = str(tmp_path / "c.mp4")
+    write_video(path, num_frames=12, size=(96, 96), seed=1)
+    data = open(path, "rb").read()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict_windows", data)  # window_s missing
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict_windows?window_s=nope", data)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict_windows?window_s=1.0&stride_s=0", data)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict_windows?window_s=1.0", b"not a video")
+    assert e.value.code == 500  # decode failure surfaces as server error
+
+
 def test_landmarks_endpoint(tmp_path):
     model = api.load_model("pose_bilstm", num_classes=6, hidden_size=16,
                            num_frames=8)
