@@ -201,6 +201,64 @@ def make_separable_wlasl(
     return index_path, video_dir
 
 
+def make_separable_landmarks(
+    num_classes: int,
+    clips_per_class: int,
+    num_frames: int = 16,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-separable Holistic sequences for the LANDMARK-family learning
+    proof (the counterpart of :func:`make_separable_wlasl` for the RGB
+    families): gloss k = the DIRECTION the right hand drifts relative to
+    the body (angle 2πk/C). The signal survives
+    ``asltpu.models.bilstm.normalize_landmarks`` — per-frame recentering on
+    the mid-shoulder point and shoulder-width scaling cancel exactly the
+    nuisances drawn per clip below (global translation + camera drift,
+    global scale), while RELATIVE hand motion passes through — and it is
+    purely temporal-directional, so a model must integrate motion over T,
+    not read one frame. Further nuisances: start radius, drift speed,
+    coordinate noise, and randomly MISSING left-hand frames (zeros, the
+    MediaPipe convention the masking path must preserve).
+
+    Returns (landmarks [N, T, 543, 3] float32, labels [N] int32), shuffled.
+    Use disjoint ``seed`` values for train and a held-out val split so val
+    accuracy measures the class signal, not clip memorization."""
+    rng = np.random.default_rng(seed)
+    n = num_classes * clips_per_class
+    labels = np.repeat(np.arange(num_classes), clips_per_class)
+    lm = np.zeros((n, num_frames, 543, 3), np.float32)
+    t01 = np.arange(num_frames, dtype=np.float32) / max(num_frames - 1, 1)
+    for i, k in enumerate(labels):
+        theta = 2 * np.pi * k / num_classes
+        # Static body: pose cluster with REAL shoulders (normalization
+        # reference; indices 11/12 of the leading 33-pose block), face
+        # cluster, both hands at rest.
+        body = np.zeros((543, 3), np.float32)
+        body[:33] = rng.uniform(0.45, 0.55, size=(33, 3))
+        body[11] = (0.35, 0.40, 0.0)  # left shoulder
+        body[12] = (0.65, 0.40, 0.0)  # right shoulder
+        body[33:501] = rng.uniform(0.46, 0.54, size=(468, 3))
+        body[501:522] = rng.uniform(0.38, 0.42, size=(21, 3))  # left hand
+        body[522:543] = rng.uniform(0.58, 0.62, size=(21, 3))  # right hand
+        seq = np.repeat(body[None], num_frames, axis=0)
+        # The class signal: right hand drifts outward along angle theta.
+        radius = rng.uniform(0.04, 0.08) + rng.uniform(0.18, 0.30) * t01
+        seq[:, 522:543, 0] += (radius * np.cos(theta))[:, None]
+        seq[:, 522:543, 1] += (radius * np.sin(theta))[:, None]
+        # Nuisances the normalization must cancel: per-clip global scale,
+        # global translation, smooth camera drift; plus coordinate noise.
+        seq += rng.normal(0, 0.004, size=seq.shape).astype(np.float32)
+        seq *= rng.uniform(0.7, 1.3)
+        seq += rng.uniform(-0.1, 0.1, size=(1, 1, 3))
+        seq += rng.normal(0, 0.002, size=(num_frames, 1, 3)).cumsum(axis=0)
+        # Missing-detection frames: left hand drops out ~20% of the time
+        # (AFTER the transforms — missing rows are exactly zero).
+        seq[rng.random(num_frames) < 0.2, 501:522, :] = 0.0
+        lm[i] = seq
+    perm = rng.permutation(n)
+    return lm[perm], labels[perm].astype(np.int32)
+
+
 def synthetic_landmarks(
     batch: int, num_frames: int, seed: int = 0
 ) -> np.ndarray:

@@ -84,3 +84,61 @@ def test_train_path_learns_on_tpu(tmp_path):
     if jax.devices()[0].platform != "tpu":
         pytest.skip("needs the real TPU (ASLTPU_TEST_TPU=1)")
     _run_learning(tmp_path)
+
+
+@pytest.mark.slow
+def test_pose_train_path_learns_separable_motion(tmp_path):
+    """The LANDMARK-family counterpart of the proof above: pose_bilstm
+    through the library train path (normalize_landmarks → BiLSTM scan
+    grads → label alignment) from chance (1/6) to high held-out top-1 on
+    :func:`make_separable_landmarks` — gloss = the direction the right
+    hand drifts RELATIVE to the body, with translation/scale/camera-drift
+    nuisances the normalization must cancel and missing-detection zero
+    frames the masking must preserve. A subtly wrong gradient through the
+    scan cells or a normalization that destroys relative motion passes
+    every loss-goes-down test and fails exactly this one."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asltpu.api import build_module
+    from asltpu.config import PoseBiLSTMConfig, TrainConfig
+    from asltpu.data.synthetic import make_separable_landmarks
+    from asltpu.train.loop import train
+
+    C, T, B = 6, 16, 16
+    cfg = PoseBiLSTMConfig(
+        num_classes=C, hidden_size=32, num_frames=T, dropout=0.1)
+    module = build_module(cfg)
+    tr_lm, tr_y = make_separable_landmarks(C, 8, num_frames=T, seed=0)
+    va_lm, va_y = make_separable_landmarks(C, 4, num_frames=T, seed=7777)
+
+    def batches():
+        rng = np.random.default_rng(1)
+        while True:
+            idx = rng.choice(len(tr_y), B, replace=False)
+            yield jnp.asarray(tr_lm[idx]), jnp.asarray(tr_y[idx])
+
+    def eval_batches():
+        # 24 val clips → batches of 16 + 8 (both divide the 8-device mesh).
+        for i in range(0, len(va_y), B):
+            yield jnp.asarray(va_lm[i:i + B]), jnp.asarray(va_y[i:i + B])
+
+    evals = []
+
+    def writer(step, metrics):
+        if "eval_top1" in metrics:
+            evals.append((step, float(metrics["eval_top1"])))
+
+    tcfg = TrainConfig(
+        batch_size=B, num_steps=150, warmup_steps=10, learning_rate=3e-3,
+        log_every=1000, eval_every=50, ckpt_every=100_000,
+        ckpt_dir=str(tmp_path / "ck"))
+    train(module, tcfg, batches(), (jnp.zeros((1, T, 543, 3)),),
+          metric_writer=writer, eval_batches=eval_batches)
+
+    assert evals and evals[-1][0] == 150
+    final = evals[-1][1]
+    # Chance is 1/6 ≈ 0.167; the recorded seeded run (2026-08-19, CPU
+    # mesh): 0.5 (step 50) → 0.958 → 1.0 (step 150). Anything below 0.9
+    # means the landmark gradient path regressed.
+    assert final >= 0.9, f"pose training failed to learn: {evals}"
