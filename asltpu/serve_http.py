@@ -21,6 +21,11 @@ Endpoints:
                                  concurrent requests' — co-batch into one
                                  TPU program). → ``{"segments", "windows"}``
                                  (asltpu.windows semantics).
+  - ``POST /predict_windows_landmarks``  the pose-model counterpart:
+                                 body = ``.npy`` [T, 543, 3] landmark
+                                 stream for a whole session (``&fps=`` for
+                                 timestamps, default 25); windows resample
+                                 slices and ride the batcher. → same JSON.
   - ``GET /healthz``             liveness + model name
   - ``GET /stats``               batching/latency counters
 
@@ -121,6 +126,8 @@ def make_handler(server_state):
                     self._predict_fusion()
                 elif parsed.path == "/predict_windows":
                     self._predict_windows(parse_qs(parsed.query))
+                elif parsed.path == "/predict_windows_landmarks":
+                    self._predict_windows_landmarks(parse_qs(parsed.query))
                 else:
                     self._drain_body()
                     self._json(404, {"error": f"unknown path {self.path}"})
@@ -233,8 +240,86 @@ def make_handler(server_state):
             if not model.takes_rgb or model.takes_landmarks:
                 self._drain_body()
                 raise ValueError(
-                    "windows need an RGB-consuming (non-fusion) model"
+                    "windows need an RGB-consuming (non-fusion) model; "
+                    "pose models stream landmarks to "
+                    "/predict_windows_landmarks"
                 )
+            window_s, stride_s, min_prob = self._window_params(query)
+
+            from asltpu.data.decode import decode_record, probe_video
+            from asltpu.data.wlasl import ClipRecord
+            from asltpu.windows import _resolve_plan
+
+            data = self._read_body()
+            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+                f.write(data)
+                tmp = f.name
+            try:
+                total, fps = probe_video(tmp)
+                spans = _resolve_plan(total, fps, window_s, None,
+                                      stride_s, None)
+                pp = model.cfg.preprocess
+                futs = [
+                    server_state.predictor.submit(decode_record(
+                        ClipRecord(video_id=f"win{s}", gloss="", label=-1,
+                                   split="", path=tmp, frame_start=s,
+                                   frame_end=e),
+                        pp,
+                    ))
+                    for s, e in spans
+                ]
+                results = [
+                    f.result(timeout=server_state.timeout_s) for f in futs
+                ]
+            finally:
+                os.unlink(tmp)
+            self._respond_windows(spans, results, fps, min_prob)
+
+        def _predict_windows_landmarks(self, query):
+            """Continuous recognition for a served POSE model from a
+            landmark stream: body = ``.npy`` of the whole session's
+            [T, 543, 3] (the realtime front-end topology — no video at
+            all); ``?window_s=`` and friends as /predict_windows, plus
+            ``&fps=`` for timestamps (default 25). Every window's
+            resampled slice rides the shared dynamic batcher."""
+            model = server_state.model
+            if not model.takes_landmarks or model.takes_rgb:
+                self._drain_body()
+                raise ValueError(
+                    "landmark windows need a pose (landmark-only) model; "
+                    "RGB models take video at /predict_windows"
+                )
+            window_s, stride_s, min_prob = self._window_params(query)
+            fps_vals = query.get("fps")
+            fps = float(fps_vals[0]) if fps_vals else 25.0
+            if not fps > 0:
+                self._drain_body()
+                raise ValueError(f"fps must be positive, got {fps}")
+            lm = np.load(io.BytesIO(self._read_body()), allow_pickle=False)
+            if lm.ndim != 3 or lm.shape[1:] != (543, 3):
+                raise ValueError(
+                    f"expected [T, 543, 3] landmarks, got {list(lm.shape)}"
+                )
+            from asltpu.ops.preprocess import uniform_sample_indices
+            from asltpu.windows import _resolve_plan
+
+            spans = _resolve_plan(len(lm), fps, window_s, None, stride_s,
+                                  None)
+            nf = model.cfg.num_frames
+            futs = [
+                server_state.predictor.submit(landmarks=np.asarray(
+                    lm[(s - 1) + uniform_sample_indices(e - s + 1, nf)],
+                    np.float32,
+                ))
+                for s, e in spans
+            ]
+            results = [
+                f.result(timeout=server_state.timeout_s) for f in futs
+            ]
+            self._respond_windows(spans, results, fps, min_prob)
+
+        def _window_params(self, query):
+            """Shared ?window_s/&stride_s/&min_prob parsing (400 on bad)."""
 
             def fparam(name, default=None):
                 vals = query.get(name)
@@ -256,56 +341,20 @@ def make_handler(server_state):
             if stride_s is not None and stride_s <= 0:
                 self._drain_body()
                 raise ValueError("stride_s must be positive")
-            min_prob = fparam("min_prob", 0.0)
+            return window_s, stride_s, fparam("min_prob", 0.0)
 
-            from asltpu.data.decode import decode_record, probe_video
-            from asltpu.data.wlasl import ClipRecord
+        def _respond_windows(self, spans, results, fps, min_prob):
             from asltpu.windows import (
-                WindowPrediction,
-                enumerate_windows,
+                _window_prediction,
                 merge_windows,
                 segments_json,
             )
 
-            data = self._read_body()
-            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
-                f.write(data)
-                tmp = f.name
-            try:
-                total, fps = probe_video(tmp)
-                wf = max(1, int(round(window_s * fps)))
-                sf = (
-                    max(1, int(round(stride_s * fps)))
-                    if stride_s is not None
-                    else max(1, wf // 2)
-                )
-                spans = enumerate_windows(total, wf, sf)
-                pp = model.cfg.preprocess
-                futs = [
-                    server_state.predictor.submit(decode_record(
-                        ClipRecord(video_id=f"win{s}", gloss="", label=-1,
-                                   split="", path=tmp, frame_start=s,
-                                   frame_end=e),
-                        pp,
-                    ))
-                    for s, e in spans
-                ]
-                results = [
-                    f.result(timeout=server_state.timeout_s) for f in futs
-                ]
-            finally:
-                os.unlink(tmp)
-            wins = []
-            for i, ((s, e), (gloss, logits)) in enumerate(zip(spans, results)):
-                z = np.asarray(logits, np.float64)
-                p = np.exp(z - z.max())
-                p /= p.sum()
-                gid = int(z.argmax())
-                wins.append(WindowPrediction(
-                    index=i, start_frame=s, end_frame=e,
-                    start_s=(s - 1) / fps, end_s=e / fps,
-                    gloss_id=gid, gloss=gloss, prob=float(p[gid]),
-                ))
+            wins = [
+                _window_prediction(i, span, fps, logits, gloss)
+                for i, (span, (gloss, logits))
+                in enumerate(zip(spans, results))
+            ]
             self._json(200, {
                 "num_windows": len(wins),
                 "segments": segments_json(merge_windows(

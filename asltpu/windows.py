@@ -92,6 +92,44 @@ def enumerate_windows(
     return out
 
 
+def _resolve_plan(
+    total: int,
+    fps: float,
+    window_seconds,
+    window_frames,
+    stride_seconds,
+    stride_frames,
+) -> List[Tuple[int, int]]:
+    """Shared window-plan resolution: seconds→frames via ``fps``, stride
+    defaulting to half the window (50% overlap)."""
+    if (window_seconds is None) == (window_frames is None):
+        raise ValueError("pass exactly one of window_seconds/window_frames")
+    if stride_seconds is not None and stride_frames is not None:
+        raise ValueError("pass at most one of stride_seconds/stride_frames")
+    if window_frames is None:
+        window_frames = max(1, int(round(window_seconds * fps)))
+    if stride_frames is None:
+        stride_frames = (
+            max(1, int(round(stride_seconds * fps)))
+            if stride_seconds is not None
+            else max(1, window_frames // 2)
+        )
+    return enumerate_windows(total, window_frames, stride_frames)
+
+
+def _window_prediction(i, span, fps, logits, gloss) -> WindowPrediction:
+    z = np.asarray(logits, np.float64)
+    p = np.exp(z - z.max())
+    p /= p.sum()
+    gid = int(z.argmax())
+    s, e = span
+    return WindowPrediction(
+        index=i, start_frame=s, end_frame=e,
+        start_s=(s - 1) / fps, end_s=e / fps,
+        gloss_id=gid, gloss=gloss, prob=float(p[gid]),
+    )
+
+
 def predict_windows(
     model: Model,
     path: str,
@@ -120,24 +158,12 @@ def predict_windows(
             "precompute store keys per trimmed clip — extract per-window "
             "pose explicitly (asltpu.data.landmarks) for fusion/pose models"
         )
-    if (window_seconds is None) == (window_frames is None):
-        raise ValueError("pass exactly one of window_seconds/window_frames")
-    if stride_seconds is not None and stride_frames is not None:
-        raise ValueError("pass at most one of stride_seconds/stride_frames")
-
     from asltpu.data.decode import probe_video
     from asltpu.data.wlasl import ClipRecord
 
     total, fps = probe_video(path)
-    if window_frames is None:
-        window_frames = max(1, int(round(window_seconds * fps)))
-    if stride_frames is None:
-        stride_frames = (
-            max(1, int(round(stride_seconds * fps)))
-            if stride_seconds is not None
-            else max(1, window_frames // 2)
-        )
-    spans = enumerate_windows(total, window_frames, stride_frames)
+    spans = _resolve_plan(total, fps, window_seconds, window_frames,
+                          stride_seconds, stride_frames)
     records = [
         ClipRecord(
             video_id=f"{path}#win{i:05d}",
@@ -164,21 +190,7 @@ def predict_windows(
         yield_items=True,
     ):
         i = index_of[rec.video_id]
-        z = np.asarray(logits, np.float64)
-        p = np.exp(z - z.max())
-        p /= p.sum()
-        gid = int(z.argmax())
-        s, e = spans[i]
-        out[i] = WindowPrediction(
-            index=i,
-            start_frame=s,
-            end_frame=e,
-            start_s=(s - 1) / fps,
-            end_s=e / fps,
-            gloss_id=gid,
-            gloss=gloss,
-            prob=float(p[gid]),
-        )
+        out[i] = _window_prediction(i, spans[i], fps, logits, gloss)
     # skip_errors is not exposed: windows slice ONE video, so a decode
     # failure poisons every window alike — surfacing it beats returning a
     # silently sparse timeline. stream_predict raises; this is a backstop.
@@ -186,6 +198,64 @@ def predict_windows(
     if missing:
         raise IOError(f"windows {missing} of {path} produced no prediction")
     return out  # type: ignore[return-value]
+
+
+def predict_windows_landmarks(
+    model: Model,
+    landmarks: np.ndarray,
+    fps: float,
+    *,
+    window_seconds: Optional[float] = None,
+    window_frames: Optional[int] = None,
+    stride_seconds: Optional[float] = None,
+    stride_frames: Optional[int] = None,
+    batch_size: int = 8,
+    gloss_names: Optional[Sequence[str]] = None,
+) -> List[WindowPrediction]:
+    """Continuous recognition for the POSE family from a landmark stream:
+    ``landmarks`` is the whole session's [T_total, 543, 3] (e.g. the
+    MediaPipe front-end's per-frame output — the realtime topology where
+    pose arrives as a stream and no video decode happens at all). Windows
+    are slices resampled to the model's ``num_frames`` (the same uniform
+    sampling the clip lane applies) and batched through the one compiled
+    program. ``fps`` is the stream's frame rate (timestamps only)."""
+    if not model.takes_landmarks or model.takes_rgb:
+        raise ValueError(
+            "predict_windows_landmarks is the pose-only lane; "
+            f"'{type(model.cfg).__name__}' is not a pure landmark consumer"
+        )
+    landmarks = np.asarray(landmarks, np.float32)
+    if landmarks.ndim != 3 or landmarks.shape[1:] != (543, 3):
+        raise ValueError(
+            f"expected [T, 543, 3] landmarks, got {list(landmarks.shape)}"
+        )
+    if not fps > 0:
+        raise ValueError(f"fps must be positive, got {fps}")
+
+    from asltpu.data.pad import pad_to_batch
+    from asltpu.ops.preprocess import uniform_sample_indices
+
+    spans = _resolve_plan(len(landmarks), fps, window_seconds, window_frames,
+                          stride_seconds, stride_frames)
+    nf = model.cfg.num_frames
+    clips = np.stack([
+        landmarks[(s - 1) + uniform_sample_indices(e - s + 1, nf)]
+        for s, e in spans
+    ])
+    fn = model.predict_fn()
+    out: List[WindowPrediction] = []
+    for i0 in range(0, len(spans), batch_size):
+        chunk = clips[i0:i0 + batch_size]
+        logits = np.asarray(
+            fn(model.variables, pad_to_batch(chunk, batch_size))
+        )[: len(chunk)]
+        for j, z in enumerate(logits):
+            i = i0 + j
+            out.append(_window_prediction(
+                i, spans[i], fps, z,
+                gloss_label(int(np.argmax(z)), gloss_names),
+            ))
+    return out
 
 
 def merge_windows(

@@ -141,6 +141,32 @@ def test_landmarks_endpoint(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(base + "/predict", b"whatever")
         assert e.value.code == 400  # RGB endpoint on a pose model
+
+        # Continuous pose stream: 40-frame session, 16f windows, stride 8
+        # → 4 windows, agreeing with the library lane.
+        stream = synthetic_landmarks(1, 40, seed=5)[0]
+        buf = io.BytesIO()
+        np.save(buf, stream)
+        code, body = _post(
+            base + "/predict_windows_landmarks?window_s=0.64&fps=25",
+            buf.getvalue(),
+        )
+        assert code == 200 and body["num_windows"] == 4
+        assert sum(s["num_windows"] for s in body["segments"]) == 4
+        from asltpu.windows import predict_windows_landmarks
+
+        wins = predict_windows_landmarks(
+            model, stream, 25.0, window_frames=16, stride_frames=8,
+            batch_size=2)
+        assert [w["gloss"] for w in body["windows"]] == [
+            w.gloss_id for w in wins]
+        np.testing.assert_allclose(
+            [w["prob"] for w in body["windows"]],
+            [w.prob for w in wins], atol=2e-3)
+        # Video-windows endpoint on a pose model → 400 with a pointer.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/predict_windows?window_s=1.0", b"x")
+        assert e.value.code == 400
     finally:
         httpd.shutdown()
         predictor.shutdown()

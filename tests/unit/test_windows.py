@@ -188,6 +188,56 @@ def test_predict_windows_seconds_units(long_video, small_rgb_model):
         [w.prob for w in wins], [w.prob for w in again], rtol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def small_pose_model():
+    from asltpu import api
+
+    return api.load_model("pose_bilstm", num_classes=6, hidden_size=16,
+                          num_frames=4)
+
+
+def test_predict_windows_landmarks_end_to_end(small_pose_model):
+    from asltpu.data.synthetic import synthetic_landmarks
+    from asltpu.windows import predict_windows_landmarks
+
+    stream = synthetic_landmarks(1, 40, seed=2)[0]  # [40, 543, 3] session
+    wins = predict_windows_landmarks(
+        small_pose_model, stream, 25.0, window_frames=16, stride_frames=8,
+        batch_size=3,  # 4 windows → a full batch + a padded remainder
+    )
+    assert [(w.start_frame, w.end_frame) for w in wins] == [
+        (1, 16), (9, 24), (17, 32), (25, 40)]
+    for w in wins:
+        assert 0.0 < w.prob <= 1.0 and w.gloss == w.gloss_id
+        assert w.end_s == pytest.approx(w.start_s + 16 / 25)
+    # The padded remainder row must not leak: same result at batch 4.
+    again = predict_windows_landmarks(
+        small_pose_model, stream, 25.0, window_frames=16, stride_frames=8,
+        batch_size=4)
+    np.testing.assert_allclose([w.prob for w in wins],
+                               [w.prob for w in again], rtol=1e-5)
+    assert [w.gloss_id for w in wins] == [w.gloss_id for w in again]
+    segs = merge_windows(wins)
+    assert sum(s.num_windows for s in segs) == 4
+
+
+def test_predict_windows_landmarks_validation(small_pose_model,
+                                              small_rgb_model):
+    from asltpu.windows import predict_windows_landmarks
+
+    stream = np.zeros((20, 543, 3), np.float32)
+    with pytest.raises(ValueError, match="pose-only"):
+        predict_windows_landmarks(small_rgb_model, stream, 25.0,
+                                  window_frames=8)
+    with pytest.raises(ValueError, match="543"):
+        predict_windows_landmarks(small_pose_model,
+                                  np.zeros((20, 10, 3), np.float32),
+                                  25.0, window_frames=8)
+    with pytest.raises(ValueError, match="fps"):
+        predict_windows_landmarks(small_pose_model, stream, 0.0,
+                                  window_frames=8)
+
+
 def test_predict_windows_rejects_landmark_models():
     stub = types.SimpleNamespace(takes_landmarks=True, cfg=object())
     with pytest.raises(ValueError, match="landmarks"):
