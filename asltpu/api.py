@@ -536,7 +536,11 @@ def stream_predict(
     (path, gloss, logits) as batches complete.
 
     ``landmarks_for``: optional callable path → [T,543,3] landmarks, required
-    for landmark-consuming models.
+    for landmark-consuming models. Mark the callable with
+    ``takes_record = True`` to receive the ORIGINAL item instead of its
+    path — the hook for segment-keyed landmarks (two records/windows of
+    one video file need different landmark slices; asltpu.windows uses it
+    for fusion windows).
 
     ``decode_fast=True`` (with ``decode_backend="av"``) enables the
     codec-level work-reduction modes (DCT-domain reduced-resolution
@@ -573,17 +577,25 @@ def stream_predict(
             "landmarks_for=<callable path -> [T,543,3]>"
         )
 
-    def load_lm(path):
+    # landmarks_for normally takes the display PATH (the LandmarkStore
+    # contract). A callable marked ``takes_record = True`` receives the
+    # ORIGINAL item instead — needed when items are ClipRecords whose
+    # frame segments disambiguate landmarks within one video file (e.g.
+    # sliding windows, asltpu.windows).
+    lm_takes_record = bool(getattr(landmarks_for, "takes_record", False))
+
+    def load_lm(idx):
         """landmarks_for with skip_errors semantics (None on failure)."""
         try:
-            return landmarks_for(path)
+            return landmarks_for(items[idx] if lm_takes_record
+                                 else paths[idx])
         except Exception:
             if not skip_errors:
                 raise
             from asltpu.utils.logging import get_logger
 
             get_logger("asltpu.stream").warning(
-                "skipping clip with unloadable landmarks: %s", path,
+                "skipping clip with unloadable landmarks: %s", paths[idx],
                 exc_info=True,
             )
             return None
@@ -595,7 +607,8 @@ def stream_predict(
                 loaded = [
                     (i + j, lm)
                     for j, lm in enumerate(
-                        load_lm(p) for p in paths[i : i + batch_size]
+                        load_lm(k) for k in range(
+                            i, min(i + batch_size, len(paths)))
                     )
                     if lm is not None
                 ]
@@ -642,7 +655,7 @@ def stream_predict(
                 # compiled batch_size afterwards.
                 loaded = []
                 for row, k in enumerate(kept):
-                    lm = load_lm(paths[k])
+                    lm = load_lm(k)
                     if lm is not None:
                         loaded.append((k, row, lm))
                 if not loaded:

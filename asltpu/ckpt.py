@@ -178,7 +178,15 @@ def load_best_metric(directory: str) -> Optional[Dict[str, Any]]:
     p = os.path.join(directory, "best", _BEST_METRIC_FILE)
     try:
         with open(p) as f:
-            return json.load(f)
+            rec = json.load(f)
+        # Parseable-but-wrong-shape records (a torn write predating the
+        # write-then-rename, hand edits) must also read as "no best" —
+        # callers index rec["metric"] unguarded.
+        if not isinstance(rec, dict) or not isinstance(
+            rec.get("metric"), (int, float)
+        ):
+            return None
+        return rec
     except (OSError, ValueError):
         return None
 

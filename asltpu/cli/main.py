@@ -116,17 +116,26 @@ def cmd_predict(args) -> int:
             )
     if args.windows is not None and args.windows <= 0:
         raise SystemExit("error: --windows expects a positive duration")
-    if args.windows is not None and args.model in (
-        "pose_bilstm", "two_stream",
-    ):
-        # Continuous recognition needs per-window pose extraction for the
-        # landmark families, which the precompute store doesn't key — fail
-        # BEFORE the minutes-long model compile.
+    if args.windows is not None and args.model == "pose_bilstm":
         raise SystemExit(
-            f"error: --windows supports RGB models; '{args.model}' "
-            "consumes landmarks (per-window pose extraction is not "
-            "wired — see asltpu/windows.py)"
+            "error: --windows takes video; pose_bilstm windows a landmark "
+            "stream instead — use asltpu.windows.predict_windows_landmarks "
+            "or POST /predict_windows_landmarks on asl serve"
         )
+    if args.windows is not None and args.model == "two_stream":
+        # Fusion windows need the session's per-frame landmarks alongside
+        # the video — fail BEFORE the minutes-long model compile.
+        if not args.landmarks_stream:
+            raise SystemExit(
+                "error: --windows with the fusion model needs "
+                "--landmarks-stream FILE.npy ([T, 543, 3] aligned to the "
+                "video's frames)"
+            )
+        if len(args.clips) != 1:
+            raise SystemExit(
+                "error: --landmarks-stream aligns to ONE video; pass "
+                "exactly one clip"
+            )
     model = _load(args)
     if args.windows is not None:
         return _predict_windows(args, model)
@@ -169,6 +178,11 @@ def _predict_windows(args, model) -> int:
         gloss_names = WLASLIndex(
             args.index, args.videos or "", subset=model.cfg.num_classes
         ).glosses
+    landmark_stream = None
+    if args.landmarks_stream:
+        import numpy as np
+
+        landmark_stream = np.load(args.landmarks_stream, allow_pickle=False)
     for path in args.clips:
         wins = predict_windows(
             model, path,
@@ -178,6 +192,7 @@ def _predict_windows(args, model) -> int:
             gloss_names=gloss_names,
             decode_backend=args.decode_backend,
             decode_fast=args.decode_fast,
+            landmark_stream=landmark_stream,
         )
         segs = merge_windows(wins, min_prob=args.min_prob)
         print(json.dumps({
@@ -578,6 +593,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="windows whose top softmax probability falls below "
                         "this merge into 'uncertain' segments (gloss null) "
                         "instead of asserting a gloss")
+    p.add_argument("--landmarks-stream", default=None, metavar="NPY",
+                   help="with --windows on the fusion model: the session's "
+                        "per-frame [T, 543, 3] landmarks aligned to the "
+                        "(single) video's frames")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser(

@@ -17,11 +17,12 @@ native decoder as the clip lane:
 
 CLI: ``asl predict --windows 2.0 [--window-stride 1.0] [--min-prob 0.4]``.
 
-Scope: RGB-consuming models (the production ``mobilenet_gru`` path,
-``resnet_transformer``, ``i3d``). Landmark consumers need per-window pose
-extraction, which the precompute store keys per trimmed video — run the
-pose front-end over each window explicitly (``data/landmarks.py``) if you
-need the fusion families here.
+All five families are covered: RGB models (``mobilenet_gru``,
+``resnet_transformer``, ``i3d``) window the video alone; fusion
+(``two_stream``) adds ``landmark_stream=`` — the session's per-frame
+landmarks, sliced and resampled per window alongside the RGB; pure pose
+(``pose_bilstm``) uses :func:`predict_windows_landmarks` over the landmark
+stream with no video decode at all (the realtime front-end topology).
 """
 
 from __future__ import annotations
@@ -143,6 +144,7 @@ def predict_windows(
     decode_backend: str = "auto",
     decode_fast: bool = False,
     num_decode_workers: int = 4,
+    landmark_stream: Optional[np.ndarray] = None,
 ) -> List[WindowPrediction]:
     """Classify every sliding window of one continuous video, ordered by
     window start. Give the window as EITHER seconds (converted with the
@@ -150,14 +152,47 @@ def predict_windows(
     (50% overlap — boundary-straddling signs still get one centered
     window). Each window decodes only its ``num_frames`` sampled frames
     (segment-aware decode), and all windows stream through one compiled
-    batch program."""
-    if model.takes_landmarks:
+    batch program.
+
+    FUSION models (``two_stream``) additionally take ``landmark_stream``:
+    the session's per-frame [T_total, 543, 3] landmarks aligned 1:1 with
+    the video's frames — each window slices its span and resamples it with
+    the same uniform sampling as the RGB frames, so the two streams stay
+    temporally aligned per window. Pure landmark consumers use
+    :func:`predict_windows_landmarks` (no video at all)."""
+    if model.takes_landmarks and not model.takes_rgb:
         raise ValueError(
-            "predict_windows supports RGB-consuming models; "
-            f"'{type(model.cfg).__name__}' consumes landmarks, which the "
-            "precompute store keys per trimmed clip — extract per-window "
-            "pose explicitly (asltpu.data.landmarks) for fusion/pose models"
+            f"'{type(model.cfg).__name__}' consumes only landmarks — "
+            "use predict_windows_landmarks(model, landmark_stream, fps)"
         )
+    lm_for = None
+    if model.takes_landmarks:
+        if landmark_stream is None:
+            raise ValueError(
+                f"'{type(model.cfg).__name__}' is a fusion model: pass "
+                "landmark_stream=[T_total, 543, 3] aligned to the video's "
+                "frames (per-window slices resample alongside the RGB)"
+            )
+        landmark_stream = np.asarray(landmark_stream, np.float32)
+        if landmark_stream.ndim != 3 or landmark_stream.shape[1:] != (543, 3):
+            raise ValueError(
+                f"expected [T, 543, 3] landmark_stream, got "
+                f"{list(landmark_stream.shape)}"
+            )
+        from asltpu.ops.preprocess import uniform_sample_indices
+
+        nf = model.cfg.preprocess.num_frames
+
+        def lm_for(rec):
+            seg = landmark_stream[rec.frame_start - 1:rec.frame_end]
+            if len(seg) == 0:
+                raise ValueError(
+                    f"landmark_stream (len {len(landmark_stream)}) does not "
+                    f"cover window frames {rec.frame_start}-{rec.frame_end}"
+                )
+            return seg[uniform_sample_indices(len(seg), nf)]
+
+        lm_for.takes_record = True  # stream_predict: pass the record
     from asltpu.data.decode import probe_video
     from asltpu.data.wlasl import ClipRecord
 
@@ -187,6 +222,7 @@ def predict_windows(
         decode_backend=decode_backend,
         decode_fast=decode_fast,
         num_decode_workers=num_decode_workers,
+        landmarks_for=lm_for,
         yield_items=True,
     ):
         i = index_of[rec.video_id]

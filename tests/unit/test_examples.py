@@ -37,6 +37,13 @@ def test_export_deploy(monkeypatch, capsys):
     assert "matches live model: True" in out
 
 
+def test_continuous_recognition(monkeypatch, capsys):
+    _run("continuous_recognition.py", monkeypatch, ASLTPU_EXAMPLE_TINY="1")
+    out = capsys.readouterr().out
+    assert "windows: 9" in out  # 120 frames, 25f window, 12f stride
+    assert "segments:" in out
+
+
 def test_sharded_inference(capsys):
     # conftest already runs tests on the 8-device virtual CPU mesh, so the
     # example's in-process CPU forcing is unnecessary here.

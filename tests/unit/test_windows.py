@@ -238,9 +238,54 @@ def test_predict_windows_landmarks_validation(small_pose_model,
                                   window_frames=8)
 
 
-def test_predict_windows_rejects_landmark_models():
-    stub = types.SimpleNamespace(takes_landmarks=True, cfg=object())
-    with pytest.raises(ValueError, match="landmarks"):
+@pytest.fixture(scope="module")
+def small_fusion_model():
+    from asltpu import api
+
+    return api.load_model(
+        "two_stream", num_classes=6, num_frames=4, d_model=32,
+        preprocess={"num_frames": 4, "staging_size": (48, 48),
+                    "resize_short": 40, "crop": 32},
+    )
+
+
+def test_predict_windows_fusion_with_landmark_stream(long_video,
+                                                     small_fusion_model):
+    """Fusion windows: the RGB windows decode from the video while each
+    window slices its span of the aligned landmark stream — both resampled
+    with the same uniform sampling, so the two streams stay temporally
+    aligned per window."""
+    from asltpu.data.synthetic import synthetic_landmarks
+
+    stream = synthetic_landmarks(1, 40, seed=4)[0]  # 1:1 with the video
+    wins = predict_windows(
+        small_fusion_model, long_video, window_frames=16, stride_frames=8,
+        batch_size=2, landmark_stream=stream,
+    )
+    assert [(w.start_frame, w.end_frame) for w in wins] == [
+        (1, 16), (9, 24), (17, 32), (25, 40)]
+    for w in wins:
+        assert 0.0 < w.prob <= 1.0
+    # The landmark slices MATTER: a different stream changes the logits.
+    other = predict_windows(
+        small_fusion_model, long_video, window_frames=16, stride_frames=8,
+        batch_size=2, landmark_stream=synthetic_landmarks(1, 40, seed=9)[0],
+    )
+    assert any(abs(a.prob - b.prob) > 1e-6 for a, b in zip(wins, other))
+
+
+def test_predict_windows_fusion_validation(long_video, small_fusion_model):
+    with pytest.raises(ValueError, match="landmark_stream"):
+        predict_windows(small_fusion_model, long_video, window_frames=16)
+    with pytest.raises(ValueError, match="543"):
+        predict_windows(small_fusion_model, long_video, window_frames=16,
+                        landmark_stream=np.zeros((40, 5, 3), np.float32))
+
+
+def test_predict_windows_rejects_pose_only_models():
+    stub = types.SimpleNamespace(takes_landmarks=True, takes_rgb=False,
+                                 cfg=object())
+    with pytest.raises(ValueError, match="predict_windows_landmarks"):
         predict_windows(stub, "x.mp4", window_seconds=2.0)
 
 
@@ -279,13 +324,38 @@ def test_cli_predict_windows(capsys, long_video):
         assert (seg["gloss"] is None) == (seg["gloss_id"] == -1)
 
 
+def test_cli_windows_fusion(capsys, long_video, tmp_path):
+    from asltpu.cli.main import main
+    from asltpu.data.synthetic import synthetic_landmarks
+
+    stream_npy = str(tmp_path / "stream.npy")
+    np.save(stream_npy, synthetic_landmarks(1, 40, seed=4)[0])
+    rc = main([
+        "predict", long_video, "--windows", "0.64",
+        "--landmarks-stream", stream_npy,
+        "--model", "two_stream", "--num-classes", "6", "--batch", "2",
+        "--set", "num_frames=4", "--set", "d_model=32",
+        "--set", "preprocess.num_frames=4",
+        "--set", "preprocess.staging_size=(48,48)",
+        "--set", "preprocess.resize_short=40",
+        "--set", "preprocess.crop=32",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    (row,) = [json.loads(l) for l in out.splitlines() if l.strip()]
+    assert len(row["windows"]) == 4
+
+
 def test_cli_windows_validation(long_video, tmp_path):
     from asltpu.cli.main import main
 
     # Landmark families fail BEFORE any model build.
-    with pytest.raises(SystemExit, match="RGB models"):
+    with pytest.raises(SystemExit, match="landmark stream"):
         main(["predict", long_video, "--windows", "2.0",
               "--model", "pose_bilstm"])
+    with pytest.raises(SystemExit, match="landmarks-stream"):
+        main(["predict", long_video, "--windows", "2.0",
+              "--model", "two_stream"])
     with pytest.raises(SystemExit, match="positive"):
         main(["predict", long_video, "--windows", "-1",
               "--model", "mobilenet_gru"])
