@@ -201,6 +201,66 @@ def make_separable_wlasl(
     return index_path, video_dir
 
 
+def write_separable_session(
+    path: str,
+    gloss_sequence: List[int],
+    num_glosses: int,
+    frames_per_sign: int = 24,
+    size: Tuple[int, int] = (96, 96),
+    fps: int = 25,
+    seed: int = 0,
+) -> List[Tuple[int, int, int]]:
+    """Write ONE continuous "signing session" mp4: the signs of
+    ``gloss_sequence`` back to back with no boundary markers — the input
+    :func:`asltpu.windows.predict_windows` exists for. Each sign's span
+    carries the :func:`write_separable_video` class signal (a hue
+    direction) with its own per-sign nuisance draw (texture orientation,
+    frequency, motion, amplitude), so a timeline recognizer must read the
+    signal per window, not per file.
+
+    Returns the ground-truth timeline: ``[(gloss_id, start_frame,
+    end_frame)]`` with 1-based inclusive frames (the ClipRecord/
+    WindowPrediction convention).
+    """
+    if cv2 is None:
+        raise RuntimeError("cv2 required to write synthetic videos")
+    h, w = size
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not writer.isOpened():
+        raise IOError(f"cannot open video writer for {path}")
+    timeline: List[Tuple[int, int, int]] = []
+    frame = 1
+    for gloss_id in gloss_sequence:
+        theta = 2 * np.pi * gloss_id / num_glosses
+        weights = np.array(
+            [np.cos(theta), np.cos(theta - 2 * np.pi / 3),
+             np.cos(theta + 2 * np.pi / 3)],
+            np.float32,
+        )
+        phi = rng.uniform(0, 2 * np.pi)
+        freq = rng.uniform(0.03, 0.10)
+        motion = rng.uniform(-0.6, 0.6)
+        tex_amp = rng.uniform(15, 35)
+        axis = rng.uniform(0, np.pi)
+        proj = np.cos(axis) * xx + np.sin(axis) * yy
+        for t in range(frames_per_sign):
+            tex = tex_amp * np.sin(freq * proj + phi + motion * t)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            for c in range(3):
+                img[..., c] = np.clip(
+                    127.5 + 60.0 * weights[c] + tex, 0, 255
+                ).astype(np.uint8)
+            writer.write(img[..., ::-1])  # RGB → BGR for the encoder
+        timeline.append((gloss_id, frame, frame + frames_per_sign - 1))
+        frame += frames_per_sign
+    writer.release()
+    return timeline
+
+
 def make_separable_landmarks(
     num_classes: int,
     clips_per_class: int,

@@ -87,6 +87,51 @@ def test_train_path_learns_on_tpu(tmp_path):
 
 
 @pytest.mark.slow
+def test_i3d_train_path_learns_on_tpu(tmp_path):
+    """The learning proof for the family that actually CARRIES the train
+    obligation (``BASELINE.json:9``: I3D fine-tune, train + eval). The
+    mobilenet_gru proof above exercises the loader/augment/label path; this
+    one additionally drives the 3D-conv + s2d-stem gradient path (remat'd
+    Inception blocks, fp32 BN stats under bf16 compute) from chance to
+    high held-out top-1 through the same CLI. Frames=8 is the smallest
+    temporal extent the pooling stack admits; dropout is lowered from the
+    WLASL-2000 fine-tune default (0.5) — at 6 classes it only slows the
+    300-step budget. Full-width I3D fwd+bwd is ~seconds/step on the CPU
+    mesh, so this proof is TPU-gated (run with ASLTPU_TEST_TPU=1).
+    Recorded 2026-08-19 (real TPU): see ROUND_NOTES.md."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs the real TPU (ASLTPU_TEST_TPU=1)")
+
+    from asltpu.cli.main import main
+    from asltpu.data.synthetic import make_separable_wlasl
+
+    index, videos = make_separable_wlasl(
+        str(tmp_path / "data"), num_glosses=6, train_per_gloss=8,
+        val_per_gloss=4, num_frames=24, size=(96, 96),
+    )
+    log_dir = str(tmp_path / "logs")
+    rc = main([
+        "train", "--model", "i3d", "--num-classes", "6",
+        "--set", "dropout=0.1",
+        "--index", index, "--videos", videos,
+        "--batch", "8", "--steps", "300", "--lr", "2e-3", "--warmup", "10",
+        "--log-every", "50", "--eval-split", "val", "--eval-every", "75",
+        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "300",
+        "--frames", "8", "--crop", "32",
+        "--log-dir", log_dir,
+    ])
+    assert rc == 0
+    with open(os.path.join(log_dir, "train_metrics_eval.csv")) as f:
+        rows = list(csv.DictReader(f))
+    traj = [(int(float(r["step"])), float(r["eval_top1"])) for r in rows]
+    assert traj and traj[-1][0] == 300
+    assert traj[-1][1] >= 0.8, f"i3d failed to learn: {traj}"
+    assert all(float(r["eval_clips"]) == 24.0 for r in rows)
+
+
+@pytest.mark.slow
 def test_pose_train_path_learns_separable_motion(tmp_path):
     """The LANDMARK-family counterpart of the proof above: pose_bilstm
     through the library train path (normalize_landmarks → BiLSTM scan

@@ -114,6 +114,41 @@ def test_export_two_stream_both_inputs(tmp_path):
     np.testing.assert_allclose(logits, want[0], atol=1e-5)
 
 
+def test_export_resnet_transformer_roundtrip(tmp_path):
+    m = load_model(
+        "resnet_transformer", num_classes=5, d_model=64, num_heads=2,
+        num_tx_layers=1,
+        preprocess={"num_frames": 4, "staging_size": (40, 40),
+                    "resize_short": 36, "crop": 32},
+    )
+    export_model(m, str(tmp_path / "r"), batch_size=2)
+    em = load_exported(str(tmp_path / "r"))
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, size=(2, 4, 40, 40, 3), dtype=np.uint8)
+    got = em.predict_batch(frames=frames)
+    want = np.asarray(m.predict_fn()(m.variables, frames))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_i3d_roundtrip(tmp_path):
+    # Full-width I3D at the smallest legal temporal extent (frames=8: the
+    # Mixed_4f (2,2,2) VALID pool needs T'>=2 after the two stride-2
+    # temporal reductions) — covers the s2d stem + 3D-conv lane through
+    # export, completing roundtrip coverage of all five families.
+    m = load_model(
+        "i3d", num_classes=5,
+        preprocess={"num_frames": 8, "staging_size": (40, 40),
+                    "resize_short": 36, "crop": 32},
+    )
+    export_model(m, str(tmp_path / "i"), batch_size=2)
+    em = load_exported(str(tmp_path / "i"))
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, size=(2, 8, 40, 40, 3), dtype=np.uint8)
+    got = em.predict_batch(frames=frames)
+    want = np.asarray(m.predict_fn()(m.variables, frames))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_load_exported_rejects_non_artifact(tmp_path):
     with pytest.raises(IOError, match="not an export artifact"):
         load_exported(str(tmp_path))
