@@ -184,19 +184,25 @@ def predict_windows(
         nf = model.cfg.preprocess.num_frames
 
         def lm_for(rec):
-            seg = landmark_stream[rec.frame_start - 1:rec.frame_end]
-            if len(seg) == 0:
-                raise ValueError(
-                    f"landmark_stream (len {len(landmark_stream)}) does not "
-                    f"cover window frames {rec.frame_start}-{rec.frame_end}"
-                )
-            return seg[uniform_sample_indices(len(seg), nf)]
+            return landmark_stream[
+                (rec.frame_start - 1)
+                + uniform_sample_indices(rec.frame_end - rec.frame_start + 1,
+                                         nf)
+            ]
 
         lm_for.takes_record = True  # stream_predict: pass the record
     from asltpu.data.decode import probe_video
     from asltpu.data.wlasl import ClipRecord
 
     total, fps = probe_video(path)
+    if landmark_stream is not None and len(landmark_stream) < total:
+        # Fail fast: a short stream would SILENTLY misalign every window
+        # past its end (slices would truncate and resample from the wrong
+        # span) — the "aligned 1:1 with the video's frames" contract above.
+        raise ValueError(
+            f"landmark_stream has {len(landmark_stream)} frames but the "
+            f"video has {total} — the stream must cover every video frame"
+        )
     spans = _resolve_plan(total, fps, window_seconds, window_frames,
                           stride_seconds, stride_frames)
     records = [

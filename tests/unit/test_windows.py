@@ -280,6 +280,12 @@ def test_predict_windows_fusion_validation(long_video, small_fusion_model):
     with pytest.raises(ValueError, match="543"):
         predict_windows(small_fusion_model, long_video, window_frames=16,
                         landmark_stream=np.zeros((40, 5, 3), np.float32))
+    # A stream SHORTER than the video must fail fast (a silent slice would
+    # misalign every window past the stream's end), and it must fail
+    # BEFORE any window decodes/predicts.
+    with pytest.raises(ValueError, match="must cover every video frame"):
+        predict_windows(small_fusion_model, long_video, window_frames=16,
+                        landmark_stream=np.zeros((39, 543, 3), np.float32))
 
 
 def test_predict_windows_rejects_pose_only_models():
