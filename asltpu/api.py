@@ -94,6 +94,7 @@ def build_module(cfg: ModelConfig):
             num_heads=cfg.num_heads,
             num_fusion_layers=cfg.num_fusion_layers,
             dropout=cfg.dropout,
+            width_mult=cfg.width_mult,
             dtype=cfg.compute_jnp_dtype,
         )
     raise ValueError(f"unknown config type: {type(cfg)}")

@@ -186,6 +186,9 @@ class TwoStreamFusionConfig(ModelConfig):
     num_heads: int = 8
     num_fusion_layers: int = 2
     dropout: float = 0.1
+    # Width multiplier of the RGB-stream MobileNetV2 backbone (1.0 = the
+    # torch-importable contract width; smaller for experiments/tests).
+    width_mult: float = 1.0
     preprocess: PreprocessConfig = PreprocessConfig(num_frames=16)
 
 

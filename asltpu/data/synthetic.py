@@ -287,36 +287,109 @@ def make_separable_landmarks(
     n = num_classes * clips_per_class
     labels = np.repeat(np.arange(num_classes), clips_per_class)
     lm = np.zeros((n, num_frames, 543, 3), np.float32)
-    t01 = np.arange(num_frames, dtype=np.float32) / max(num_frames - 1, 1)
     for i, k in enumerate(labels):
         theta = 2 * np.pi * k / num_classes
-        # Static body: pose cluster with REAL shoulders (normalization
-        # reference; indices 11/12 of the leading 33-pose block), face
-        # cluster, both hands at rest.
-        body = np.zeros((543, 3), np.float32)
-        body[:33] = rng.uniform(0.45, 0.55, size=(33, 3))
-        body[11] = (0.35, 0.40, 0.0)  # left shoulder
-        body[12] = (0.65, 0.40, 0.0)  # right shoulder
-        body[33:501] = rng.uniform(0.46, 0.54, size=(468, 3))
-        body[501:522] = rng.uniform(0.38, 0.42, size=(21, 3))  # left hand
-        body[522:543] = rng.uniform(0.58, 0.62, size=(21, 3))  # right hand
-        seq = np.repeat(body[None], num_frames, axis=0)
-        # The class signal: right hand drifts outward along angle theta.
-        radius = rng.uniform(0.04, 0.08) + rng.uniform(0.18, 0.30) * t01
-        seq[:, 522:543, 0] += (radius * np.cos(theta))[:, None]
-        seq[:, 522:543, 1] += (radius * np.sin(theta))[:, None]
-        # Nuisances the normalization must cancel: per-clip global scale,
-        # global translation, smooth camera drift; plus coordinate noise.
-        seq += rng.normal(0, 0.004, size=seq.shape).astype(np.float32)
-        seq *= rng.uniform(0.7, 1.3)
-        seq += rng.uniform(-0.1, 0.1, size=(1, 1, 3))
-        seq += rng.normal(0, 0.002, size=(num_frames, 1, 3)).cumsum(axis=0)
-        # Missing-detection frames: left hand drops out ~20% of the time
-        # (AFTER the transforms — missing rows are exactly zero).
-        seq[rng.random(num_frames) < 0.2, 501:522, :] = 0.0
-        lm[i] = seq
+        lm[i] = _separable_landmark_seq(rng, theta, num_frames)
     perm = rng.permutation(n)
     return lm[perm], labels[perm].astype(np.int32)
+
+
+def _separable_landmark_seq(
+    rng: np.random.Generator, theta: float, num_frames: int
+) -> np.ndarray:
+    """One [T, 543, 3] sequence whose class signal is a right-hand drift
+    along ``theta`` (see :func:`make_separable_landmarks` for why each
+    nuisance is drawn and what the normalization must cancel)."""
+    t01 = np.arange(num_frames, dtype=np.float32) / max(num_frames - 1, 1)
+    # Static body: pose cluster with REAL shoulders (normalization
+    # reference; indices 11/12 of the leading 33-pose block), face
+    # cluster, both hands at rest.
+    body = np.zeros((543, 3), np.float32)
+    body[:33] = rng.uniform(0.45, 0.55, size=(33, 3))
+    body[11] = (0.35, 0.40, 0.0)  # left shoulder
+    body[12] = (0.65, 0.40, 0.0)  # right shoulder
+    body[33:501] = rng.uniform(0.46, 0.54, size=(468, 3))
+    body[501:522] = rng.uniform(0.38, 0.42, size=(21, 3))  # left hand
+    body[522:543] = rng.uniform(0.58, 0.62, size=(21, 3))  # right hand
+    seq = np.repeat(body[None], num_frames, axis=0)
+    # The class signal: right hand drifts outward along angle theta.
+    radius = rng.uniform(0.04, 0.08) + rng.uniform(0.18, 0.30) * t01
+    seq[:, 522:543, 0] += (radius * np.cos(theta))[:, None]
+    seq[:, 522:543, 1] += (radius * np.sin(theta))[:, None]
+    # Nuisances the normalization must cancel: per-clip global scale,
+    # global translation, smooth camera drift; plus coordinate noise.
+    seq += rng.normal(0, 0.004, size=seq.shape).astype(np.float32)
+    seq *= rng.uniform(0.7, 1.3)
+    seq += rng.uniform(-0.1, 0.1, size=(1, 1, 3))
+    seq += rng.normal(0, 0.002, size=(num_frames, 1, 3)).cumsum(axis=0)
+    # Missing-detection frames: left hand drops out ~20% of the time
+    # (AFTER the transforms — missing rows are exactly zero).
+    seq[rng.random(num_frames) < 0.2, 501:522, :] = 0.0
+    return seq
+
+
+def make_separable_fusion(
+    num_hue: int,
+    num_drift: int,
+    clips_per_class: int,
+    num_frames: int = 8,
+    size: Tuple[int, int] = (32, 32),
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A CROSS-MODAL task only a working fusion model can solve: the label
+    factorizes as ``hue_class * num_drift + drift_class``, where the hue
+    lives ONLY in the RGB clip (the :func:`write_separable_video` color
+    signal, emitted here as already-preprocessed tensors) and the drift
+    lives ONLY in the landmarks (:func:`make_separable_landmarks` signal).
+    A model reading one stream caps at ``1/num_drift`` (RGB only) or
+    ``1/num_hue`` (landmarks only) accuracy; beating BOTH ceilings proves
+    gradient flows through, and the classifier uses, BOTH streams and the
+    cross-attention between them.
+
+    Returns (clips [N, T, H, W, 3] float32 in the preprocess output space
+    — ImageNet mean/std normalized, the TwoStreamFusion input contract —
+    landmarks [N, T, 543, 3] float32, labels [N] int32), shuffled.
+    Disjoint ``seed`` values give independent nuisance draws (train vs val).
+    """
+    from asltpu.config import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(seed)
+    h, w = size
+    n = num_hue * num_drift * clips_per_class
+    labels = np.repeat(np.arange(num_hue * num_drift), clips_per_class)
+    clips = np.empty((n, num_frames, h, w, 3), np.float32)
+    lm = np.empty((n, num_frames, 543, 3), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    for i, label in enumerate(labels):
+        hue_k, drift_k = divmod(int(label), num_drift)
+        # RGB stream: the hue-direction signal + moving-texture nuisance
+        # (write_separable_video's construction, in [0,1] tensor space).
+        theta = 2 * np.pi * hue_k / num_hue
+        weights = np.array(
+            [np.cos(theta), np.cos(theta - 2 * np.pi / 3),
+             np.cos(theta + 2 * np.pi / 3)],
+            np.float32,
+        )
+        phi = rng.uniform(0, 2 * np.pi)
+        freq = rng.uniform(0.03, 0.10)
+        motion = rng.uniform(-0.6, 0.6)
+        tex_amp = rng.uniform(0.06, 0.14)
+        axis = rng.uniform(0, np.pi)
+        proj = np.cos(axis) * xx + np.sin(axis) * yy
+        for t in range(num_frames):
+            tex = tex_amp * np.sin(freq * proj + phi + motion * t)
+            img01 = np.clip(
+                0.5 + 0.235 * weights[None, None, :] + tex[..., None], 0, 1
+            )
+            clips[i, t] = (img01 - mean) / std
+        # Landmark stream: the drift-direction signal.
+        lm[i] = _separable_landmark_seq(
+            rng, 2 * np.pi * drift_k / num_drift, num_frames
+        )
+    perm = rng.permutation(n)
+    return clips[perm], lm[perm], labels[perm].astype(np.int32)
 
 
 def synthetic_landmarks(

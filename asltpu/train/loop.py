@@ -114,6 +114,14 @@ def make_train_step(
     AugmentConfig — inside the same XLA program (SURVEY.md §3.3).
     When ``mesh`` is given, inputs are annotated batch-sharded over ``data``
     and state replicated — GSPMD inserts the grad ``psum`` over ICI.
+
+    MULTI-INPUT models (``two_stream`` fusion: clip + landmarks) pass
+    ``batch_in`` as a tuple; element 0 is the RGB input (preprocessed when
+    ``pp_cfg`` is given) and the remaining elements feed the module
+    verbatim, batch-sharded alongside it. Augmentation applies to the RGB
+    element ONLY — geometric augments (hflip, crop) are NOT mirrored into
+    landmark streams, so fusion training should keep them disabled unless
+    the landmark pipeline applies the matching transform itself.
     """
     tx = make_optimizer(train_cfg)
 
@@ -131,6 +139,13 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch_in, labels):
         rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
+        # Tuple batch = multi-input model: element 0 is the RGB input
+        # (through preprocess/augment below), the rest pass verbatim.
+        # The isinstance is resolved at trace time (static structure).
+        extras = ()
+        if isinstance(batch_in, (tuple, list)):
+            batch_in, *rest = batch_in
+            extras = tuple(rest)
         if pp_cfg is None:
             clip = batch_in
         elif augment is not None and augment.enabled:
@@ -145,12 +160,13 @@ def make_train_step(
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 logits, new_state = module.apply(
-                    variables, clip, True,
+                    variables, clip, *extras, True,
                     rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
                 )
             else:
                 logits = module.apply(
-                    variables, clip, True, rngs={"dropout": dropout_rng}
+                    variables, clip, *extras, True,
+                    rngs={"dropout": dropout_rng},
                 )
                 new_state = {}
             loss = softmax_ce(logits, labels, train_cfg.label_smoothing)
@@ -192,13 +208,17 @@ def make_train_step(
 
 def make_eval_step(module, pp_cfg: Optional[PreprocessConfig] = None, mesh=None):
     def eval_fn(state: TrainState, batch_in, labels):
+        extras = ()
+        if isinstance(batch_in, (tuple, list)):  # multi-input (fusion)
+            batch_in, *rest = batch_in
+            extras = tuple(rest)
         clip = (
             preprocess_clip(batch_in, pp_cfg) if pp_cfg is not None else batch_in
         )
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        logits = module.apply(variables, clip, False)
+        logits = module.apply(variables, clip, *extras, False)
         top1 = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
         top5 = jnp.sum(
             jnp.any(
@@ -231,6 +251,8 @@ def train(
     model_cfg=None,
 ) -> TrainState:
     """Run the training loop over an iterable of (batch_in, labels).
+    ``batch_in`` may be a TUPLE for multi-input models (fusion:
+    ``((clip, landmarks), labels)`` — see :func:`make_train_step`).
 
     Handles checkpoint/resume via orbax (``train_cfg.ckpt_dir``), periodic
     metrics, fault injection for resume testing, and — when

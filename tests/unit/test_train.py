@@ -218,3 +218,84 @@ def test_eval_step_topk():
     lm, labels = _batch()
     top1, top5 = eval_fn(state, jnp.asarray(lm), jnp.asarray(labels))
     assert 0 <= int(top1) <= int(top5) <= 8
+
+
+def _fusion_setup():
+    from asltpu.config import PreprocessConfig, TwoStreamFusionConfig
+    from asltpu.data.synthetic import make_separable_fusion
+
+    cfg = TwoStreamFusionConfig(
+        num_classes=4, num_frames=4, d_model=32, num_heads=2,
+        num_fusion_layers=1, dropout=0.0, width_mult=0.5,
+        compute_dtype="float32",  # numeric-equivalence tests (like the BN
+        # DP test above) compare fp32 paths; bf16 attention reductions
+        # reorder under sharding at O(1e-2).
+        preprocess=PreprocessConfig(num_frames=4),
+    )
+    module = build_module(cfg)
+    clips, lm, labels = make_separable_fusion(
+        2, 2, 2, num_frames=4, size=(32, 32), seed=3
+    )
+    dummy = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 4, 543, 3)))
+    return module, dummy, (jnp.asarray(clips), jnp.asarray(lm)), jnp.asarray(labels)
+
+
+def test_multi_input_train_step_updates_both_streams():
+    """Fusion (two-input) training: batch_in is a TUPLE (clip, landmarks);
+    one step must route gradient into BOTH streams' parameters."""
+    module, dummy, batch_in, labels = _fusion_setup()
+    state0 = create_train_state(module, TCFG, dummy, seed=0)
+    step = make_train_step(module, TCFG)
+    # Two steps: the warmup schedule starts at LR 0, so only the second
+    # step can move parameters.
+    s1, metrics = step(state0, batch_in, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    s1, metrics = step(s1, batch_in, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # Re-init (state0 was donated) to diff parameters per stream.
+    ref = create_train_state(module, TCFG, dummy, seed=0)
+
+    def max_delta(subtree):
+        a = jax.tree.leaves(jax.tree.map(np.asarray, getattr_path(ref.params, subtree)))
+        b = jax.tree.leaves(jax.tree.map(np.asarray, getattr_path(s1.params, subtree)))
+        return max(float(np.max(np.abs(x - y))) for x, y in zip(a, b))
+
+    def getattr_path(params, key):
+        return params[key]
+
+    assert max_delta("rgb_backbone") > 0, "no gradient reached the RGB stream"
+    assert max_delta("kp_proj") > 0, "no gradient reached the landmark stream"
+    assert max_delta("fusion0") > 0, "no gradient reached cross-attention"
+
+
+def test_multi_input_dp_matches_single_device():
+    """The DP≡single-device equivalence (SURVEY §4.2) for TUPLE batches:
+    both fusion inputs shard over `data` via the pytree-prefix sharding."""
+    module, dummy, batch_in, labels = _fusion_setup()
+    state0 = create_train_state(module, TCFG, dummy, seed=0)
+    step_1d = make_train_step(module, TCFG)
+    # Two steps so the warmup LR is nonzero and params actually move.
+    s1, m1 = step_1d(state0, batch_in, labels)
+    s1, m1 = step_1d(s1, batch_in, labels)
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    state0b = create_train_state(module, TCFG, dummy, seed=0)
+    state0b = jax.device_put(state0b, replicated_sharding(mesh))
+    step_dp = make_train_step(module, TCFG, mesh=mesh)
+    batch_s, labels_s = shard_batch(mesh, (batch_in, labels))
+    s8, m8 = step_dp(state0b, batch_s, labels_s)
+    s8, m8 = step_dp(s8, batch_s, labels_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_multi_input_eval_step():
+    module, dummy, batch_in, labels = _fusion_setup()
+    state = create_train_state(module, TCFG, dummy, seed=0)
+    eval_fn = make_eval_step(module)
+    top1, top5 = eval_fn(state, batch_in, labels)
+    assert 0 <= int(top1) <= int(top5) <= int(labels.shape[0])
