@@ -288,7 +288,13 @@ def test_multi_input_dp_matches_single_device():
     s8, m8 = step_dp(state0b, batch_s, labels_s)
     s8, m8 = step_dp(s8, batch_s, labels_s)
 
-    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # rtol 1e-4, not the single-stream test's 1e-5: the fusion step
+    # reduces over BOTH streams (backbone BN batch stats AND two
+    # cross-attention softmaxes), and XLA:CPU reorders those fp32
+    # reductions under sharding — a measured 3e-5 relative loss drift at
+    # 8 devices, pure summation order (the param trees still agree to
+    # atol 1e-4 below, which is what the equivalence claim rests on).
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
