@@ -295,8 +295,23 @@ def test_multi_input_dp_matches_single_device():
     # 8 devices, pure summation order (the param trees still agree to
     # atol 1e-4 below, which is what the equivalence claim rests on).
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    # Param comparison: adamw's update is sign-like early in training
+    # (m/sqrt(v) ~ +-1), so a coordinate whose gradient sits within
+    # reduction-order noise of zero can legitimately move +-lr differently
+    # per step — up to ~2*lr = 2e-3 over the two steps taken here (r4
+    # observed exactly this: 1/4096 coords at |delta| = 4.3e-4).  A WRONG
+    # DP step (missing psum, mis-scaled grads) moves MANY coordinates, so
+    # we assert both (a) no coordinate exceeds the sign-flip bound and
+    # (b) coords beyond plain fp32 drift are vanishingly rare (<0.5%).
+    sign_flip_bound = 2.0 * TCFG.learning_rate
+    total = drifted = 0
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=sign_flip_bound)
+        delta = np.abs(np.asarray(a) - np.asarray(b))
+        total += delta.size
+        drifted += int(np.sum(delta > 1e-4))
+    assert drifted / total < 0.005, (
+        f"{drifted}/{total} coords drifted past 1e-4 — systematic DP divergence")
 
 
 def test_multi_input_eval_step():
