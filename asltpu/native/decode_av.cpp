@@ -157,6 +157,16 @@ int next_frame(DecoderState* st) {
   }
 }
 
+// Display-order frame index of the decoder's current frame, recovered from
+// its best-effort timestamp; -1 when the stream gives no usable timing.
+int frame_index_from_pts(const DecoderState& st, const AVStream* stream) {
+  int64_t pts = st.frame->best_effort_timestamp;
+  if (pts == AV_NOPTS_VALUE || stream->avg_frame_rate.num <= 0) return -1;
+  return static_cast<int>(av_rescale_q(
+      pts - (stream->start_time == AV_NOPTS_VALUE ? 0 : stream->start_time),
+      stream->time_base, av_inv_q(stream->avg_frame_rate)));
+}
+
 // Stage the current decoded frame into `out`: bbox crop (chroma-aligned),
 // swscale resample to the resize plan, center crop, pack.
 // dst fmt: YUV420P planes packed I420 (yuv420) or RGB24.
@@ -418,15 +428,7 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
     if (av_seek_frame(st.fmt, st.stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
       avcodec_flush_buffers(st.ctx);
       if (next_frame(&st) == 0) {
-        int64_t pts = st.frame->best_effort_timestamp;
-        int got = pts == AV_NOPTS_VALUE
-                      ? -1
-                      : static_cast<int>(av_rescale_q(
-                            pts - (stream->start_time == AV_NOPTS_VALUE
-                                       ? 0
-                                       : stream->start_time),
-                            stream->time_base,
-                            av_inv_q(stream->avg_frame_rate)));
+        int got = frame_index_from_pts(st, stream);
         if (got >= 0 && got <= first) {
           pos = got;  // st.frame currently holds frame `got`
         } else {
@@ -470,6 +472,16 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
   // can't be wanted. (mpeg4-SP/OpenCV-written streams have no B-frames;
   // this lever pays off on real WLASL h264 sources.)
   bool skip_nonref = (fast_flags & kFastSkipNonref) != 0;
+  // Mid-stream GOP skipping (VERDICT r4 item #4): when the next sampled
+  // frame is far ahead (sparse temporal sampling of a long clip), seek to
+  // the keyframe at/before it instead of decoding every unsampled GOP.
+  // Exactness is preserved: decode restarts from a keyframe and runs
+  // forward to the target, the same operation as the initial segment seek.
+  // `gop_est` learns the stream's keyframe spacing from each landing so a
+  // long-GOP stream (where the backward seek would land far behind and
+  // re-decode ground already covered) stops paying for further attempts.
+  int gop_est = 0;       // largest observed (target - landed_keyframe) + 1
+  bool midseek_ok = true;
   for (;;) {
     // Stage the current frame into every wanted slot at or BEFORE `pos`:
     // under fast-mode frame drops a run of discarded nonref frames can
@@ -491,6 +503,49 @@ int asltpu_av_decode_clip(const char* path, int num_frames, int staging_h,
       ++wi;
     }
     if (wi >= want.size() || pos >= max_needed) break;
+    {
+      const int target = want[wi].first;
+      // Threshold 24: below a GOP-ish gap the flush + keyframe re-decode
+      // costs more than linear grab-skip; above `gop_est` only (a seek
+      // that would land behind a previously observed keyframe distance
+      // re-decodes covered ground).
+      if (midseek_ok && target - pos > 24 && target - pos > gop_est &&
+          stream->avg_frame_rate.num > 0) {
+        int64_t ts = av_rescale_q(target, av_inv_q(stream->avg_frame_rate),
+                                  stream->time_base);
+        if (av_seek_frame(st.fmt, st.stream_idx, ts,
+                          AVSEEK_FLAG_BACKWARD) >= 0) {
+          avcodec_flush_buffers(st.ctx);
+          if (next_frame(&st) == 0) {
+            int got = frame_index_from_pts(st, stream);
+            if (got >= 0 && got <= target) {
+              gop_est = std::max(gop_est, target - got + 1);
+              pos = got;
+              continue;  // staging loop re-checks against the new pos
+            }
+          }
+          // Post-seek position unknown (no timestamps / landed past the
+          // target): every further staged frame would be misnumbered.
+          // Rewind to the start — exactness over speed — and disable
+          // further mid-stream seeks for this clip.
+          midseek_ok = false;
+          int64_t ts0 = stream->start_time == AV_NOPTS_VALUE
+                            ? 0
+                            : stream->start_time;
+          if (av_seek_frame(st.fmt, st.stream_idx, ts0,
+                            AVSEEK_FLAG_BACKWARD) < 0 &&
+              av_seek_frame(st.fmt, st.stream_idx, 0,
+                            AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE) < 0) {
+            return -2;
+          }
+          avcodec_flush_buffers(st.ctx);
+          if (next_frame(&st) != 0) return -2;
+          pos = 0;
+          continue;
+        }
+        midseek_ok = false;  // demuxer refused the seek; stay linear
+      }
+    }
     if (skip_nonref) {
       // Only safe to discard nonref frames while none of them can be the
       // next wanted frame — h264 reorders, so require a gap of >2.

@@ -98,22 +98,22 @@ def softmax_ce(logits: jax.Array, labels: jax.Array, smoothing: float) -> jax.Ar
     return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
 
 
-def make_train_step(
+def make_step_fn(
     module,
     train_cfg: TrainConfig,
     pp_cfg: Optional[PreprocessConfig] = None,
-    mesh=None,
     augment=None,
 ):
-    """Build the jitted train step.
+    """Build the UNJITTED train step ``(state, batch_in, labels) → (state,
+    metrics)`` — the traceable body that :func:`make_train_step` wraps in
+    ``jax.jit``. Exposed separately so callers that need the step INSIDE a
+    larger traced program (the bench's single-dispatch ``lax.fori_loop``
+    over train steps) can reuse the exact production math.
 
-    Signature: ``(state, frames_or_clip, labels) → (state, metrics)``.
     If ``pp_cfg`` is given, the step takes staged uint8 frames and runs the
     fused preprocess — the augmented variant (random resized crop / flip /
     color jitter, ``asltpu.ops.augment``) when ``augment`` is an
     AugmentConfig — inside the same XLA program (SURVEY.md §3.3).
-    When ``mesh`` is given, inputs are annotated batch-sharded over ``data``
-    and state replicated — GSPMD inserts the grad ``psum`` over ICI.
 
     MULTI-INPUT models (``two_stream`` fusion: clip + landmarks) pass
     ``batch_in`` as a tuple; element 0 is the RGB input (preprocessed when
@@ -193,6 +193,25 @@ def make_train_step(
             ),
             metrics,
         )
+
+    return step_fn
+
+
+def make_train_step(
+    module,
+    train_cfg: TrainConfig,
+    pp_cfg: Optional[PreprocessConfig] = None,
+    mesh=None,
+    augment=None,
+):
+    """Build the jitted train step.
+
+    Signature: ``(state, frames_or_clip, labels) → (state, metrics)`` —
+    the :func:`make_step_fn` body under ``jax.jit`` with the state donated.
+    When ``mesh`` is given, inputs are annotated batch-sharded over ``data``
+    and state replicated — GSPMD inserts the grad ``psum`` over ICI.
+    """
+    step_fn = make_step_fn(module, train_cfg, pp_cfg, augment)
 
     if mesh is not None:
         repl = replicated_sharding(mesh)

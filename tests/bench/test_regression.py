@@ -165,7 +165,7 @@ def test_exec_single_dispatch_floor():
         preprocess={"host_resize_short": 256, "staging_size": (224, 224),
                     "resize_short": 224, "staging_format": "yuv420"},
     )
-    cps, compile_s = _exec_single_dispatch_cps(model, 32)
+    cps, compile_s, _mfu = _exec_single_dispatch_cps(model, 32)
     assert cps > EXEC_SINGLE_DISPATCH_FLOOR, (
         f"single-dispatch device path regressed: {cps:.0f} clips/s "
         f"(floor {EXEC_SINGLE_DISPATCH_FLOOR:.0f}; compile {compile_s}s)"
@@ -181,7 +181,7 @@ def test_fused_pallas_exec_floor():
     from asltpu.benchmark import _exec_single_dispatch_cps
 
     model = load_model("mobilenet_gru")  # contract defaults: RGB + Pallas
-    cps, compile_s = _exec_single_dispatch_cps(model, 32)
+    cps, compile_s, _mfu = _exec_single_dispatch_cps(model, 32)
     assert cps > FUSED_PALLAS_EXEC_FLOOR, (
         f"fused-Pallas contract path regressed: {cps:.0f} clips/s "
         f"(floor {FUSED_PALLAS_EXEC_FLOOR:.0f}; compile {compile_s}s)"
@@ -215,9 +215,10 @@ def test_per_family_device_floors():
     table = _bench_all_configs()
     failures = []
     for family, floor in PER_FAMILY_FLOORS.items():
-        got = table.get(family)
+        entry = table.get(family)
+        got = entry.get("clips_per_sec") if isinstance(entry, dict) else entry
         if not isinstance(got, (int, float)) or got <= floor:
-            failures.append(f"{family}: {got} (floor {floor:.0f})")
+            failures.append(f"{family}: {entry} (floor {floor:.0f})")
     assert not failures, f"family device paths regressed: {failures}"
 
 

@@ -27,9 +27,13 @@ import os
 import pytest
 
 
-def _run_learning(tmp_path):
-    """Full CLI train on the separable task; returns the eval trajectory
-    and asserts the invariants shared by both backends."""
+def _run_cli_learning(tmp_path, model, set_overrides, frames):
+    """Shared body of every CLI learning proof (one place for dataset
+    construction, train flags, and the CSV assertions — ADVICE r4 #1):
+    full CLI train of ``model`` on the separable task with augmentation ON
+    (random resized crop + flip + color jitter are part of the path being
+    proven), periodic pad-aware eval, and a ≥0.8 final held-out top-1 gate
+    (chance 1/6). Returns the eval trajectory."""
     from asltpu.cli.main import main
     from asltpu.data.synthetic import make_separable_wlasl
 
@@ -38,18 +42,18 @@ def _run_learning(tmp_path):
         val_per_gloss=4, num_frames=24, size=(96, 96),
     )
     log_dir = str(tmp_path / "logs")
-    rc = main([
-        "train", "--model", "mobilenet_gru", "--num-classes", "6",
-        "--set", "width_mult=0.5", "--set", "gru_hidden=32",
+    argv = ["train", "--model", model, "--num-classes", "6"]
+    for ov in set_overrides:
+        argv += ["--set", ov]
+    argv += [
         "--index", index, "--videos", videos,
         "--batch", "8", "--steps", "300", "--lr", "2e-3", "--warmup", "10",
         "--log-every", "50", "--eval-split", "val", "--eval-every", "75",
         "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "300",
-        "--frames", "4", "--crop", "32",
+        "--frames", str(frames), "--crop", "32",
         "--log-dir", log_dir,
-        # Augmentation ON: random resized crop + flip + color jitter are
-        # part of the path being proven.
-    ])
+    ]
+    rc = main(argv)
     assert rc == 0
 
     with open(os.path.join(log_dir, "train_metrics_eval.csv")) as f:
@@ -58,14 +62,21 @@ def _run_learning(tmp_path):
     traj = [(int(float(r["step"])), float(r["eval_top1"])) for r in rows]
     final_step, final_top1 = traj[-1]
     assert final_step == 300
-    # Chance is 1/6 ≈ 0.167; the recorded runs reached 0.917 (CPU mesh)
-    # and 0.958 (real TPU). Anything below 0.8 on this seeded setup means
-    # the gradient/label path regressed.
-    assert final_top1 >= 0.8, f"training failed to learn: top1 {traj}"
+    # Anything below 0.8 on this seeded setup (recorded runs: 0.917 CPU
+    # mesh, 0.958 real TPU) means the gradient/label path regressed.
+    assert final_top1 >= 0.8, f"{model} failed to learn: top1 {traj}"
     # Every eval scored the full held-out split (pad rows excluded, none
     # dropped): 6 glosses × 4 val clips.
     assert all(float(r["eval_clips"]) == 24.0 for r in rows)
     return traj
+
+
+def _run_learning(tmp_path):
+    """The mobilenet_gru learning proof (loader/augment/label path)."""
+    return _run_cli_learning(
+        tmp_path, "mobilenet_gru",
+        ("width_mult=0.5", "gru_hidden=32"), frames=4,
+    )
 
 
 @pytest.mark.slow
@@ -103,32 +114,7 @@ def test_i3d_train_path_learns_on_tpu(tmp_path):
 
     if jax.devices()[0].platform != "tpu":
         pytest.skip("needs the real TPU (ASLTPU_TEST_TPU=1)")
-
-    from asltpu.cli.main import main
-    from asltpu.data.synthetic import make_separable_wlasl
-
-    index, videos = make_separable_wlasl(
-        str(tmp_path / "data"), num_glosses=6, train_per_gloss=8,
-        val_per_gloss=4, num_frames=24, size=(96, 96),
-    )
-    log_dir = str(tmp_path / "logs")
-    rc = main([
-        "train", "--model", "i3d", "--num-classes", "6",
-        "--set", "dropout=0.1",
-        "--index", index, "--videos", videos,
-        "--batch", "8", "--steps", "300", "--lr", "2e-3", "--warmup", "10",
-        "--log-every", "50", "--eval-split", "val", "--eval-every", "75",
-        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "300",
-        "--frames", "8", "--crop", "32",
-        "--log-dir", log_dir,
-    ])
-    assert rc == 0
-    with open(os.path.join(log_dir, "train_metrics_eval.csv")) as f:
-        rows = list(csv.DictReader(f))
-    traj = [(int(float(r["step"])), float(r["eval_top1"])) for r in rows]
-    assert traj and traj[-1][0] == 300
-    assert traj[-1][1] >= 0.8, f"i3d failed to learn: {traj}"
-    assert all(float(r["eval_clips"]) == 24.0 for r in rows)
+    _run_cli_learning(tmp_path, "i3d", ("dropout=0.1",), frames=8)
 
 
 @pytest.mark.slow
@@ -144,33 +130,11 @@ def test_resnet_transformer_train_path_learns_on_tpu(tmp_path):
 
     if jax.devices()[0].platform != "tpu":
         pytest.skip("needs the real TPU (ASLTPU_TEST_TPU=1)")
-
-    from asltpu.cli.main import main
-    from asltpu.data.synthetic import make_separable_wlasl
-
-    index, videos = make_separable_wlasl(
-        str(tmp_path / "data"), num_glosses=6, train_per_gloss=8,
-        val_per_gloss=4, num_frames=24, size=(96, 96),
+    _run_cli_learning(
+        tmp_path, "resnet_transformer",
+        ("d_model=64", "num_tx_layers=1", "num_heads=2", "dropout=0.1"),
+        frames=4,
     )
-    log_dir = str(tmp_path / "logs")
-    rc = main([
-        "train", "--model", "resnet_transformer", "--num-classes", "6",
-        "--set", "d_model=64", "--set", "num_tx_layers=1",
-        "--set", "num_heads=2", "--set", "dropout=0.1",
-        "--index", index, "--videos", videos,
-        "--batch", "8", "--steps", "300", "--lr", "2e-3", "--warmup", "10",
-        "--log-every", "50", "--eval-split", "val", "--eval-every", "75",
-        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "300",
-        "--frames", "4", "--crop", "32",
-        "--log-dir", log_dir,
-    ])
-    assert rc == 0
-    with open(os.path.join(log_dir, "train_metrics_eval.csv")) as f:
-        rows = list(csv.DictReader(f))
-    traj = [(int(float(r["step"])), float(r["eval_top1"])) for r in rows]
-    assert traj and traj[-1][0] == 300
-    assert traj[-1][1] >= 0.8, f"resnet_transformer failed to learn: {traj}"
-    assert all(float(r["eval_clips"]) == 24.0 for r in rows)
 
 
 @pytest.mark.slow
@@ -308,6 +272,10 @@ def test_fusion_train_learns_cross_modal_task(tmp_path):
     assert evals and evals[-1][0] == 200
     final = evals[-1][1]
     # Chance 1/6; RGB-only ceiling 1/2; landmark-only ceiling 1/3. The
-    # recorded seeded run (2026-08-20, CPU mesh): see ROUND_NOTES.md.
-    # ≥0.9 clears every single-stream ceiling with margin.
-    assert final >= 0.9, f"fusion training failed to learn: {evals}"
+    # recorded seeded run (2026-08-20, CPU mesh) reached 0.917, but on 24
+    # val clips each misclassification quantizes the metric by 0.042 and
+    # dropout is active — a benign RNG/reduction-order change across jax
+    # versions could push a borderline run below a 0.9 bar (ADVICE r4 #2).
+    # ≥0.75 still clears BOTH single-stream ceilings with a 6-clip margin,
+    # which is the cross-modal claim this test exists to make.
+    assert final >= 0.75, f"fusion training failed to learn: {evals}"

@@ -222,3 +222,36 @@ def test_stream_predict_decode_fast(tiny_wlasl):
     with pytest.raises(ValueError, match="decode_fast"):
         next(iter(api.stream_predict(
             model, paths, batch_size=2, decode_fast=True)))
+
+
+def test_av_gop_seek_sparse_long_clip(tmp_path):
+    """Mid-stream GOP skipping (sparse sampling of a LONG clip — the case
+    where gaps between sampled frames exceed a GOP): staged frames must
+    stay tolerance-identical to the cv2 oracle, i.e. the keyframe seeks
+    land on the RIGHT frames (a mis-recovered post-seek index shifts whole
+    frames — MAD in the tens)."""
+    from asltpu.data.synthetic import write_video
+
+    p = str(tmp_path / "long.mp4")
+    write_video(p, num_frames=300, size=(96, 96), seed=5)
+    pp = PreprocessConfig(num_frames=6, staging_size=(64, 64))
+    py = decode_sampled_frames(p, pp.num_frames, pp.staging_size, 0)
+    av = native.decode_clip_av(p, pp.num_frames, pp.staging_size, 0)
+    assert av.shape == py.shape
+    assert _mad(av, py) <= 3.0, "GOP-seek landed on wrong frames"
+
+
+def test_av_gop_seek_segment_tail(tmp_path):
+    """GOP seeks inside a SEGMENT (frame_start/frame_end window of a long
+    video) must respect the window: sampled indices stay inside it and
+    match the oracle."""
+    from asltpu.data.synthetic import write_video
+
+    p = str(tmp_path / "seg.mp4")
+    write_video(p, num_frames=280, size=(96, 96), seed=6)
+    pp = PreprocessConfig(num_frames=4, staging_size=(64, 64))
+    py = decode_sampled_frames(
+        p, pp.num_frames, pp.staging_size, 0, frame_start=40, frame_end=260)
+    av = native.decode_clip_av(
+        p, pp.num_frames, pp.staging_size, 0, frame_start=40, frame_end=260)
+    assert _mad(av, py) <= 3.0
