@@ -1229,7 +1229,16 @@ def main() -> int:
         or None,
         "link_mbps": link.get("link_mbps"),
     }
-    print(json.dumps(headline))
+    line = json.dumps(headline)
+    # Hard ceiling: the driver's capture tail is 2000 chars and r4's record
+    # lost value/vs_baseline to an overgrown line. Strip optional detail
+    # (never the metric/value/vs_baseline core) until the line fits.
+    for drop in ("families", "scaling", "serve", "i3d_train", "metric"):
+        if len(line) <= 1600:
+            break
+        headline.pop(drop, None)
+        line = json.dumps(headline)
+    print(line)
     return 0
 
 

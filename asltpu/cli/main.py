@@ -541,9 +541,14 @@ def cmd_serve(args) -> int:
         gloss_names = WLASLIndex(
             args.index, "", subset=model.cfg.num_classes
         ).glosses
+    buckets = (
+        tuple(int(b) for b in args.batch_buckets.split(","))
+        if args.batch_buckets else None
+    )
     log.info("serving %s on %s:%d", args.model, args.host, args.port)
     serve(model, host=args.host, port=args.port, max_batch=args.max_batch,
-          max_delay_ms=args.max_delay_ms, gloss_names=gloss_names)
+          max_delay_ms=args.max_delay_ms, gloss_names=gloss_names,
+          batch_buckets=buckets, warm=buckets is not None)
     return 0
 
 
@@ -676,6 +681,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--port", type=int, default=8476)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-delay-ms", type=float, default=10.0)
+    p.add_argument("--batch-buckets", default=None, metavar="B1,B2,...",
+                   help="low-latency policy: pad partial batches to the "
+                        "smallest listed program size instead of max-batch "
+                        "(e.g. 1,4,8); all buckets compile before the "
+                        "socket opens")
     p.add_argument("--index", default=None, help="WLASL index for gloss names")
     p.set_defaults(fn=cmd_serve)
 

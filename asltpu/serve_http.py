@@ -397,13 +397,22 @@ def serve(
     timeout_s: float = 300.0,
     max_body: int = 256 * 1024 * 1024,
     block: bool = True,
+    batch_buckets: Optional[tuple] = None,
+    warm: bool = False,
 ):
     """Start the HTTP server. ``block=False`` returns
-    (ThreadingHTTPServer, PredictServer) for embedding/tests."""
+    (ThreadingHTTPServer, PredictServer) for embedding/tests.
+
+    ``batch_buckets`` + ``warm=True``: low-latency serving — partial
+    batches pad to the smallest fitting bucket program (see
+    serve.PredictServer) and every bucket compiles before the socket
+    opens, so no request ever pays a compile or a full-batch pad."""
     predictor = PredictServer(
         model, max_batch=max_batch, max_delay_ms=max_delay_ms,
-        gloss_names=gloss_names,
+        gloss_names=gloss_names, batch_buckets=batch_buckets,
     )
+    if warm:
+        predictor.warm()
     state = ServeState(model, predictor, gloss_names, timeout_s, max_body)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     if not block:
