@@ -1051,14 +1051,21 @@ def main() -> int:
     train_bench = {}
     tb_batch = args.train_bench_batch
     if tb_batch < 0:
-        # Round-5 sweep on the real chip (corrected, host-fetch bounded):
-        # B=1 12.4 / B=2 19.1 / B=4 27.3 / B=8 45.5 clips/s — batch 8 is
-        # the best memory-feasible point (3.7x the B=1 rate, 5.6% MFU).
-        tb_batch = 8 if on_tpu else 0
+        # Round-5 sweeps on the real chip (corrected, host-fetch bounded):
+        # remat ON  — B=1 12.4 / B=2 19.1 / B=4 27.3 / B=8 45.5 / B=16 54.0
+        # remat OFF — B=8 54.5 / B=12 44.1 / B=16 58.2 clips/s.
+        # B=16 with remat OFF is the best memory-feasible point (fits v5e
+        # HBM at the contract shape; the remat recompute tax — 277.8 vs
+        # 210.1 GFLOPs/clip — buys nothing when activations fit). Remat
+        # stays ON as TrainConfig's production default for memory safety;
+        # the bench measures the efficient feasible configuration.
+        tb_batch = 16 if on_tpu else 0
     if tb_batch:
         train_bench = {
             f"i3d_train_{k}": v
-            for k, v in _bench_i3d_train(tb_batch).items()
+            for k, v in _bench_i3d_train(
+                tb_batch, remat=False if tb_batch >= 8 else None
+            ).items()
         }
 
     # ---- decode-worker scaling sweep (VERDICT r4 item #5) ---------------
@@ -1323,7 +1330,8 @@ def _bench_all_configs():
     return out
 
 
-def _bench_i3d_train(batch, iters=3, frames=None, crop=None, classes=None):
+def _bench_i3d_train(batch, iters=3, frames=None, crop=None, classes=None,
+                     remat=None):
     """Single-dispatch I3D TRAIN throughput at the contract shape
     (``BASELINE.json:9``: 64-frame clips, WLASL-2000, fine-tune) — VERDICT
     r4 item #1: the train obligation's efficiency, not just correctness.
@@ -1333,9 +1341,12 @@ def _bench_i3d_train(batch, iters=3, frames=None, crop=None, classes=None):
     ``asltpu.train.loop.make_step_fn`` math) run inside ONE
     ``lax.fori_loop`` dispatch carrying the train state — throttle-immune
     like every other device measurement here. Input is device-created and
-    iteration-varied. Returns a dict with steps/s, train clips/s/chip, and
-    analytic MFU from the compiled loop's cost analysis, or
-    ``{"error": ...}`` (e.g. OOM at an infeasible batch)."""
+    iteration-varied. ``remat`` overrides I3DConfig's gradient
+    checkpointing (None = config default True; False trades the recompute
+    FLOPs back for activation memory where the batch still fits). Returns
+    a dict with steps/s, train clips/s/chip, and analytic MFU from the
+    compiled loop's cost analysis, or ``{"error": ...}`` (e.g. OOM at an
+    infeasible batch)."""
     import jax
     import jax.numpy as jnp
 
@@ -1344,6 +1355,10 @@ def _bench_i3d_train(batch, iters=3, frames=None, crop=None, classes=None):
     from asltpu.train.loop import create_train_state, make_step_fn
 
     cfg = I3DConfig()
+    if remat is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, remat=remat)
     if frames or crop or classes:  # reduced shapes for CPU-backed tests
         import dataclasses as _dc
 

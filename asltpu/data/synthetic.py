@@ -104,6 +104,8 @@ def write_separable_video(
     size: Tuple[int, int] = (96, 96),
     fps: int = 25,
     seed: int = 0,
+    hue_rate: float = 0.0,
+    hard: bool = False,
 ) -> None:
     """Write a video whose GLOSS is decodable from its content — the
     learnable synthetic task behind the training-path proof (round-4
@@ -123,31 +125,57 @@ def write_separable_video(
     Everything else is per-clip nuisance drawn from ``seed`` — gradient
     orientation, spatial frequency, motion speed/phase, texture amplitude —
     so a model cannot fit clip identity and must learn the class signal.
+
+    ``hue_rate`` (radians/frame) rotates the hue angle OVER TIME:
+    ``θ(t) = θ₀ + hue_rate·t``. A dataset whose label encodes the rate as
+    well as the base hue (see :func:`make_separable_wlasl_grid`) is only
+    solvable by a model that integrates color over the sampled frames IN
+    ORDER — a purely per-frame (or order-blind pooled) readout cannot
+    separate ±rate pairs. ``hard=True`` adds the round-5 nuisance tier
+    (VERDICT r4 item #10 "harder nuisances"): per-clip per-channel gain
+    jitter (±12%, a white-balance error the hue readout must be robust
+    to), a global brightness offset (±18), a stronger texture (amp up to
+    45), and a moving dark occluder disc (~4–13% of pixels) the spatial
+    pooling must average around.
     """
     if cv2 is None:
         raise RuntimeError("cv2 required to write synthetic videos")
     h, w = size
     rng = np.random.default_rng(seed)
-    theta = 2 * np.pi * gloss_id / num_glosses
-    weights = np.array(
-        [np.cos(theta), np.cos(theta - 2 * np.pi / 3),
-         np.cos(theta + 2 * np.pi / 3)],
-        np.float32,
-    )
+    theta0 = 2 * np.pi * gloss_id / num_glosses
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     # Nuisance (per clip): moving-sinusoid luminance texture.
     phi = rng.uniform(0, 2 * np.pi)
     freq = rng.uniform(0.03, 0.10)
     motion = rng.uniform(-0.6, 0.6)
-    tex_amp = rng.uniform(15, 35)
+    tex_amp = rng.uniform(15, 45 if hard else 35)
     axis = rng.uniform(0, np.pi)
     proj = np.cos(axis) * xx + np.sin(axis) * yy
+    if hard:
+        gain = rng.uniform(0.88, 1.12, size=3).astype(np.float32)
+        bright = rng.uniform(-18.0, 18.0)
+        occ_r = rng.uniform(0.12, 0.20) * min(h, w)
+        occ_xy = rng.uniform(0.25, 0.75, size=2) * np.array([w, h])
+        occ_v = rng.uniform(-0.015, 0.015, size=2) * np.array([w, h])
+    else:
+        gain = np.ones(3, np.float32)
+        bright = 0.0
     frames = np.empty((num_frames, h, w, 3), dtype=np.uint8)
     for t in range(num_frames):
+        theta = theta0 + hue_rate * t
+        weights = np.array(
+            [np.cos(theta), np.cos(theta - 2 * np.pi / 3),
+             np.cos(theta + 2 * np.pi / 3)],
+            np.float32,
+        )
         tex = tex_amp * np.sin(freq * proj + phi + motion * t)
         for c in range(3):
-            img = 127.5 + 60.0 * weights[c] + tex
+            img = 127.5 + (60.0 * weights[c] + tex + bright) * gain[c]
             frames[t, ..., c] = np.clip(img, 0, 255).astype(np.uint8)
+        if hard:
+            cx, cy = occ_xy + occ_v * t
+            mask = (xx - cx) ** 2 + (yy - cy) ** 2 < occ_r**2
+            frames[t][mask] = 40
     writer = cv2.VideoWriter(
         path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
     )
@@ -196,6 +224,73 @@ def make_separable_wlasl(
                 vid += 1
         entries.append({"gloss": f"gloss_{g:04d}", "instances": instances})
     index_path = os.path.join(root, "WLASL_separable.json")
+    with open(index_path, "w") as f:
+        json.dump(entries, f)
+    return index_path, video_dir
+
+
+def rate_wheel(num_rate: int, unit: float = 0.17) -> np.ndarray:
+    """The hue-rotation rates (radians/frame) of the grid task: ``num_rate``
+    values symmetric about zero with no zero member for even counts, e.g.
+    4 → (−0.255, −0.085, +0.085, +0.255). Sign discrimination requires
+    temporal ORDER; magnitude discrimination requires reading hue at more
+    than two sampled frames."""
+    offs = np.arange(num_rate, dtype=np.float32) - (num_rate - 1) / 2.0
+    return offs * unit
+
+
+def make_separable_wlasl_grid(
+    root: str,
+    num_hue: int = 13,
+    num_rate: int = 4,
+    train_per_class: int = 8,
+    val_per_class: int = 4,
+    num_frames: int = 24,
+    size: Tuple[int, int] = (96, 96),
+    hard: bool = True,
+) -> Tuple[str, str]:
+    """The ≥50-class accuracy anchor (VERDICT r4 item #10): a WLASL-shaped
+    dataset whose ``num_hue × num_rate`` classes factorize as (base hue
+    direction θ₀, temporal hue-rotation rate ω) — class
+    ``k = hue·num_rate + rate``. Defaults give 52 classes. The hue bins sit
+    2π/13 ≈ 27.7° apart (ample margin over mp4 chroma quantization and the
+    ``hard`` white-balance jitter), and the rate dimension makes the task
+    genuinely TEMPORAL: a model that pools frames order-blind caps at
+    50% (sign-confused pairs) on the rate factor. Val instances use
+    disjoint nuisance seeds, as in :func:`make_separable_wlasl`.
+
+    Returns (index_json_path, video_dir).
+    """
+    video_dir = os.path.join(root, "videos")
+    os.makedirs(video_dir, exist_ok=True)
+    rates = rate_wheel(num_rate)
+    entries = []
+    vid = 0
+    for k in range(num_hue * num_rate):
+        hue_k, rate_k = divmod(k, num_rate)
+        instances = []
+        for split, count, seed_base in (
+            ("train", train_per_class, 0), ("val", val_per_class, 10_000)
+        ):
+            for c in range(count):
+                video_id = f"{vid:05d}"
+                write_separable_video(
+                    os.path.join(video_dir, video_id + ".mp4"),
+                    gloss_id=hue_k,
+                    num_glosses=num_hue,
+                    num_frames=num_frames,
+                    size=size,
+                    seed=seed_base + k * 1000 + c,
+                    hue_rate=float(rates[rate_k]),
+                    hard=hard,
+                )
+                instances.append(
+                    {"video_id": video_id, "split": split, "frame_start": 1,
+                     "frame_end": -1, "fps": 25}
+                )
+                vid += 1
+        entries.append({"gloss": f"gloss_{k:04d}", "instances": instances})
+    index_path = os.path.join(root, "WLASL_separable_grid.json")
     with open(index_path, "w") as f:
         json.dump(entries, f)
     return index_path, video_dir

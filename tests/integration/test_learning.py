@@ -279,3 +279,43 @@ def test_fusion_train_learns_cross_modal_task(tmp_path):
     # ≥0.75 still clears BOTH single-stream ceilings with a 6-clip margin,
     # which is the cross-modal claim this test exists to make.
     assert final >= 0.75, f"fusion training failed to learn: {evals}"
+
+
+@pytest.mark.slow
+def test_52class_grid_anchor_on_tpu(tmp_path):
+    """The ≥50-class accuracy anchor (VERDICT r4 item #10), as a repeatable
+    test: 52 classes = 13 base hues × 4 temporal hue-rotation rates
+    (:func:`make_separable_wlasl_grid`, ``hard`` nuisance tier — per-channel
+    white-balance gain, brightness offset, occluder, strong texture) through
+    the FULL CLI train path. The rate factor makes the task temporal: an
+    order-blind frame pooler sign-confuses ±rate pairs. Recorded anchor run
+    (2026-08-20, real TPU, full 1500 steps): eval_top1 0.67 (step 150) →
+    1.0 (step 300) → stable 1.0 plateau through 1500; see ROUND_NOTES.md.
+    This test runs the first 400 steps of the same configuration and gates
+    at ≥0.9 on the 208-clip held-out split. TPU-gated (ASLTPU_TEST_TPU=1);
+    ~8 min wall."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs the real TPU (ASLTPU_TEST_TPU=1)")
+
+    from asltpu.cli.main import main
+    from asltpu.data.synthetic import make_separable_wlasl_grid
+
+    index, videos = make_separable_wlasl_grid(str(tmp_path / "data"))
+    log_dir = str(tmp_path / "logs")
+    rc = main([
+        "train", "--model", "mobilenet_gru", "--num-classes", "52",
+        "--index", index, "--videos", videos,
+        "--batch", "32", "--steps", "400", "--lr", "2e-3", "--warmup", "50",
+        "--log-every", "100", "--eval-split", "val", "--eval-every", "100",
+        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "400",
+        "--frames", "16", "--crop", "64", "--log-dir", log_dir,
+    ])
+    assert rc == 0
+    with open(os.path.join(log_dir, "train_metrics_eval.csv")) as f:
+        rows = list(csv.DictReader(f))
+    traj = [(int(float(r["step"])), float(r["eval_top1"])) for r in rows]
+    assert traj[-1][0] == 400
+    assert all(float(r["eval_clips"]) == 208.0 for r in rows)
+    assert traj[-1][1] >= 0.9, f"52-class anchor failed to learn: {traj}"
