@@ -1,10 +1,12 @@
 """Mesh construction and sharding rules.
 
 Design (SURVEY.md §2.4): data-parallel over a ``data`` axis is the only
-parallelism these workloads need (models ≤ I3D fit one chip with room to
-spare; sequences are ≤64 tokens). The mesh keeps a trailing ``model`` axis
-of size 1 so tensor parallelism is addable without re-plumbing callers —
-recorded as out of scope for v1, not built.
+parallelism these workloads NEED (models ≤ I3D fit one chip with room to
+spare; sequences are ≤64 tokens). The mesh keeps a trailing ``model``
+axis — size 1 by default; round 5 added a working tensor-parallel path
+over it for the transformer head (``asltpu.dist.tp``: Megatron placements
+as pure GSPMD annotations, equivalence-tested), so C17 is exercised, not
+just reserved.
 
 Gradient reduction: params are replicated, batches sharded over ``data``;
 under jit, XLA GSPMD lowers the gradient sum to ``psum`` over ICI — no
@@ -26,13 +28,24 @@ MODEL_AXIS = "model"
 def make_mesh(
     num_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
+    model_parallel: int = 1,
 ) -> Mesh:
-    """Build a (data, model=1) mesh over the available devices."""
+    """Build a (data, model) mesh over the available devices.
+
+    ``model_parallel`` sizes the trailing ``model`` axis (default 1 =
+    pure data parallelism). With >1, pair it with
+    :func:`asltpu.dist.tp.tp_shard_variables` to run the transformer head
+    tensor-parallel; device count must divide evenly."""
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    arr = np.asarray(devices).reshape(len(devices), 1)
+    if len(devices) % model_parallel:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by "
+            f"model_parallel={model_parallel}"
+        )
+    arr = np.asarray(devices).reshape(-1, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

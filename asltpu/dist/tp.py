@@ -1,0 +1,110 @@
+"""Tensor parallelism over the mesh's spare ``model`` axis.
+
+SURVEY.md §2.4 scoped TP out of v1 ("not needed at these model sizes")
+but required the mesh keep a spare ``model`` axis so it is addable
+without re-plumbing callers. This module adds it for the one place the
+capability contract has a TP-shaped workload — the 4-layer transformer
+encoder head (config #3, ``BASELINE.json:8``) — as pure GSPMD sharding
+annotations: Megatron-style param placements, XLA inserts the ICI
+collectives. No hand-written collectives, no model rewrite; the SAME
+flax modules run unmodified.
+
+Placement rules (the classic column-then-row pairing, chosen so each
+encoder block needs exactly ONE reduction on its attention path and one
+on its MLP path, both lowered by GSPMD to ``psum`` over ICI):
+
+  - attention q/k/v kernels ``[d, H, dh]`` — shard the HEAD axis
+    (column-parallel: each model shard computes its own heads);
+  - attention out kernel ``[H, dh, d]`` — shard the head axis
+    (row-parallel: per-shard partial outputs, GSPMD all-reduces);
+  - mlp1 kernel ``[d, ff]`` — shard ``ff`` (column-parallel), its bias
+    with it; mlp2 kernel ``[ff, d]`` — shard ``ff`` (row-parallel),
+    bias replicated;
+  - everything else (layernorms, embeddings, backbone convs, the small
+    classifier) — replicated.
+
+Requires ``num_heads % model_parallel == 0`` and
+``(d_model * mlp_ratio) % model_parallel == 0`` (true for the contract
+head: 8 heads, ff 2048).
+
+Numerical equivalence (TP logits == replicated logits at fp32 tolerance)
+is asserted in ``tests/unit/test_tp.py`` on the virtual 8-device mesh and
+exercised by ``__graft_entry__._dryrun_impl`` phase 5.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from asltpu.dist.mesh import MODEL_AXIS
+
+# Path-segment rules: (segment that must appear in the param path,
+# leaf name, rank) -> PartitionSpec. Checked in order; first match wins.
+_ATTN_PROJ = ("query", "key", "value")
+
+
+def _spec_for(path) -> P:
+    """PartitionSpec for one param, from its flax path (tuple of str)."""
+    segs = [getattr(k, "key", str(k)) for k in path]
+    name = segs[-1] if segs else ""
+    parents = segs[:-1]
+    if any(p in _ATTN_PROJ for p in parents):
+        # q/k/v: kernel [d, H, dh], bias [H, dh] — shard the head axis.
+        if name == "kernel":
+            return P(None, MODEL_AXIS, None)
+        if name == "bias":
+            return P(MODEL_AXIS, None)
+    if "out" in parents and "attn" in parents:
+        # out: kernel [H, dh, d] — row-parallel over heads; bias replicated
+        # (added once after the all-reduce).
+        if name == "kernel":
+            return P(MODEL_AXIS, None, None)
+        return P()
+    if "mlp1" in parents:
+        # [d, ff] column-parallel; bias [ff] sharded with the output.
+        return P(None, MODEL_AXIS) if name == "kernel" else P(MODEL_AXIS)
+    if "mlp2" in parents:
+        # [ff, d] row-parallel; bias replicated.
+        return P(MODEL_AXIS, None) if name == "kernel" else P()
+    return P()
+
+
+def tp_variable_shardings(variables, mesh: Mesh):
+    """NamedSharding pytree for ``variables`` (a flax variables dict —
+    ``params`` and optionally ``batch_stats``): transformer-encoder blocks
+    get the Megatron placements above, everything else is replicated.
+    Works on ANY of the five families' trees — models without an ``attn``/
+    ``mlp1``/``mlp2`` structure simply come out fully replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: NamedSharding(mesh, _spec_for(path)), variables
+    )
+
+
+def tp_shard_variables(variables, mesh: Mesh):
+    """Place ``variables`` onto the mesh under the TP placements.
+
+    Serial per-leaf placement (``device_put`` one leaf at a time) — the
+    same discipline as ``api.serial_device_put``: concurrent pytree
+    transfers thrash this host's relay link (README env-limits §2)."""
+    shardings = tp_variable_shardings(variables, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), variables, shardings
+    )
+
+
+def validate_tp_divisibility(num_heads: int, d_model: int, mlp_ratio: int,
+                             model_parallel: int) -> None:
+    """Raise ValueError unless the head's shapes divide the model axis."""
+    if model_parallel <= 1:
+        return
+    if num_heads % model_parallel:
+        raise ValueError(
+            f"num_heads={num_heads} not divisible by "
+            f"model_parallel={model_parallel}"
+        )
+    if (d_model * mlp_ratio) % model_parallel:
+        raise ValueError(
+            f"mlp width {d_model * mlp_ratio} not divisible by "
+            f"model_parallel={model_parallel}"
+        )
