@@ -23,6 +23,14 @@ on its MLP path, both lowered by GSPMD to ``psum`` over ICI):
   - everything else (layernorms, embeddings, backbone convs, the small
     classifier) — replicated.
 
+The attention rules also match the fusion model's cross-attention blocks
+(modules named ``*_attn`` — ``asltpu/models/fusion.py``), and the whole
+scheme applies to TRAINING too: ``tp_variable_shardings`` on a full
+TrainState shards the adamw moments with their params (path-matched), and
+``asltpu.train.loop.make_train_step`` consumes that tree as in/out
+shardings — gradients of sharded params stay sharded; GSPMD inserts the
+backward-pass collectives.
+
 Requires ``num_heads % model_parallel == 0`` and
 ``(d_model * mlp_ratio) % model_parallel == 0`` (true for the contract
 head: 8 heads, ff 2048).
@@ -55,7 +63,8 @@ def _spec_for(path) -> P:
             return P(None, MODEL_AXIS, None)
         if name == "bias":
             return P(MODEL_AXIS, None)
-    if "out" in parents and "attn" in parents:
+    if "out" in parents and any(p == "attn" or p.endswith("_attn")
+                                for p in parents):
         # out: kernel [H, dh, d] — row-parallel over heads; bias replicated
         # (added once after the all-reduce).
         if name == "kernel":
@@ -71,11 +80,17 @@ def _spec_for(path) -> P:
 
 
 def tp_variable_shardings(variables, mesh: Mesh):
-    """NamedSharding pytree for ``variables`` (a flax variables dict —
-    ``params`` and optionally ``batch_stats``): transformer-encoder blocks
-    get the Megatron placements above, everything else is replicated.
-    Works on ANY of the five families' trees — models without an ``attn``/
-    ``mlp1``/``mlp2`` structure simply come out fully replicated."""
+    """NamedSharding pytree for ``variables``: transformer/cross-attention
+    blocks get the Megatron placements above, everything else is
+    replicated. Works on ANY pytree, matched by path segments:
+
+      - a flax variables dict (``params`` + optionally ``batch_stats``);
+      - a full :class:`asltpu.train.loop.TrainState` — the adamw moments
+        mirror the param tree inside ``opt_state``, so each moment leaf
+        path contains the same segments as its param and shards WITH it
+        (scalars like ``count``/``step`` come out replicated);
+      - trees without an attention/MLP structure (bilstm, the CNN
+        backbones) come out fully replicated."""
     return jax.tree_util.tree_map_with_path(
         lambda path, _: NamedSharding(mesh, _spec_for(path)), variables
     )

@@ -197,12 +197,33 @@ def make_step_fn(
     return step_fn
 
 
+def _uses_model_axis(mesh) -> bool:
+    from asltpu.dist.mesh import MODEL_AXIS
+
+    return mesh is not None and dict(mesh.shape).get(MODEL_AXIS, 1) > 1
+
+
+def _tp_state_shardings(state_template, mesh):
+    """Per-leaf NamedSharding tree for a TrainState under TP (Megatron
+    placements for attention/MLP params AND their adamw moments —
+    :func:`asltpu.dist.tp.tp_variable_shardings` path-matches both)."""
+    from asltpu.dist.tp import tp_variable_shardings
+
+    if state_template is None:
+        raise ValueError(
+            "a mesh with model axis > 1 (tensor parallelism) needs "
+            "state_template= to derive per-leaf param/opt-state shardings"
+        )
+    return tp_variable_shardings(state_template, mesh)
+
+
 def make_train_step(
     module,
     train_cfg: TrainConfig,
     pp_cfg: Optional[PreprocessConfig] = None,
     mesh=None,
     augment=None,
+    state_template=None,
 ):
     """Build the jitted train step.
 
@@ -210,22 +231,35 @@ def make_train_step(
     the :func:`make_step_fn` body under ``jax.jit`` with the state donated.
     When ``mesh`` is given, inputs are annotated batch-sharded over ``data``
     and state replicated — GSPMD inserts the grad ``psum`` over ICI.
-    """
+
+    When the mesh's ``model`` axis is >1 (tensor parallelism,
+    ``make_mesh(model_parallel=N)``), pass ``state_template`` (the actual
+    TrainState — only its tree structure is read): the state's in/out
+    shardings become the per-leaf Megatron placements from
+    ``asltpu.dist.tp``, so attention/MLP params, their gradients, and
+    their adamw moments all live sharded over ``model`` while the rest
+    replicates. Equivalence with the replicated step is asserted in
+    tests/unit/test_tp.py."""
     step_fn = make_step_fn(module, train_cfg, pp_cfg, augment)
 
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
+        state_sh = (
+            _tp_state_shardings(state_template, mesh)
+            if _uses_model_axis(mesh) else repl
+        )
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data, data),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data, data),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,),
         )
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_eval_step(module, pp_cfg: Optional[PreprocessConfig] = None, mesh=None):
+def make_eval_step(module, pp_cfg: Optional[PreprocessConfig] = None, mesh=None,
+                   state_template=None):
     def eval_fn(state: TrainState, batch_in, labels):
         extras = ()
         if isinstance(batch_in, (tuple, list)):  # multi-input (fusion)
@@ -251,7 +285,11 @@ def make_eval_step(module, pp_cfg: Optional[PreprocessConfig] = None, mesh=None)
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        return jax.jit(eval_fn, in_shardings=(repl, data, data))
+        state_sh = (
+            _tp_state_shardings(state_template, mesh)
+            if _uses_model_axis(mesh) else repl
+        )
+        return jax.jit(eval_fn, in_shardings=(state_sh, data, data))
     return jax.jit(eval_fn)
 
 
@@ -293,9 +331,18 @@ def train(
             model_cfg=model_cfg,
         )
         state = _ckpt.try_restore_train_state(train_cfg.ckpt_dir, state)
-    step_fn = make_train_step(module, train_cfg, pp_cfg, mesh, augment)
+    if _uses_model_axis(mesh):
+        # Tensor parallelism: place the state under the Megatron per-leaf
+        # placements up front (serial per-leaf device_put — relay-link
+        # discipline, see asltpu.dist.tp.tp_shard_variables).
+        from asltpu.dist.tp import tp_shard_variables
+
+        state = tp_shard_variables(state, mesh)
+    step_fn = make_train_step(module, train_cfg, pp_cfg, mesh, augment,
+                              state_template=state)
     eval_fn = (
-        make_eval_step(module, pp_cfg, mesh) if eval_batches is not None else None
+        make_eval_step(module, pp_cfg, mesh, state_template=state)
+        if eval_batches is not None else None
     )
 
     def run_eval(state, step):

@@ -88,6 +88,88 @@ def test_tp_batch_sharded_input():
     )
 
 
+def test_tp_train_step_matches_replicated():
+    """TP training: the full production train step (loss → grads → adamw)
+    with Megatron-sharded params + moments must walk the SAME trajectory
+    as the unsharded step — gradients of sharded params stay sharded and
+    GSPMD's backward collectives must reconstruct the exact math."""
+    from asltpu.config import TrainConfig
+    from asltpu.train.loop import create_train_state, make_train_step
+
+    module = TransformerHead(
+        num_classes=8, d_model=64, num_heads=4, num_layers=2,
+        mlp_ratio=4, dropout=0.0, dtype=jnp.float32,
+    )
+    cfg = TrainConfig(
+        batch_size=8, num_steps=4, learning_rate=1e-3, warmup_steps=0,
+        weight_decay=1e-4, label_smoothing=0.1, grad_clip_norm=1.0, seed=0,
+    )
+    feats = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 5, 64), jnp.float32)
+    )
+    labels = np.arange(8, dtype=np.int32) % 8
+    dummy = (jnp.zeros((1, 5, 64), jnp.float32),)
+
+    ref_state = create_train_state(module, cfg, dummy, seed=0)
+    ref_step = make_train_step(module, cfg)  # single-device
+    for _ in range(2):
+        ref_state, ref_metrics = ref_step(ref_state, feats, labels)
+
+    mesh = make_mesh(model_parallel=2)  # (4 data, 2 model)
+    tp_state = tp_shard_variables(create_train_state(module, cfg, dummy,
+                                                     seed=0), mesh)
+    # The sharded-state placements must be live before the step runs.
+    k = tp_state.params["layer0"]["mlp1"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    tp_step = make_train_step(module, cfg, mesh=mesh, state_template=tp_state)
+    for _ in range(2):
+        tp_state, tp_metrics = tp_step(tp_state, feats, labels)
+
+    np.testing.assert_allclose(
+        float(tp_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # Adam moments shard WITH their params (path-matched inside opt_state).
+    mu_sh = [
+        leaf.sharding.is_fully_replicated
+        for leaf in jax.tree.leaves(tp_state.opt_state)
+        if hasattr(leaf, "sharding") and leaf.ndim >= 2
+    ]
+    assert not all(mu_sh), "no sharded optimizer moment found"
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref_state.params)[0]
+    tp_flat = jax.tree_util.tree_flatten_with_path(tp_state.params)[0]
+    for (path, ref_leaf), (_, tp_leaf) in zip(ref_flat, tp_flat):
+        segs = [getattr(k, "key", str(k)) for k in path]
+        if segs[-2:] == ["key", "bias"]:
+            # The attention KEY bias has an analytically ZERO gradient (a
+            # constant shift of every key moves all logits of a query by
+            # the same amount — softmax-invariant), so its trajectory is
+            # adam normalizing pure fp summation noise: reduction order
+            # legitimately changes it. Every real direction is compared.
+            continue
+        np.testing.assert_allclose(
+            np.asarray(tp_leaf), np.asarray(ref_leaf), atol=2e-5, rtol=1e-4,
+            err_msg="/".join(segs),
+        )
+
+
+def test_tp_rules_cover_fusion_cross_attention():
+    """The fusion model's cross-attention modules are named ``*_attn``
+    (models/fusion.py) — the out-projection row-parallel rule must match
+    them, not only the encoder's ``attn``."""
+    from asltpu.dist.tp import _spec_for
+
+    class _Key(str):
+        @property
+        def key(self):
+            return str(self)
+
+    path = tuple(_Key(s) for s in ("xblock0", "a_from_b_attn", "out", "kernel"))
+    assert tuple(_spec_for(path)) == ("model", None, None)
+    path = tuple(_Key(s) for s in ("xblock0", "a_from_b_attn", "query", "kernel"))
+    assert tuple(_spec_for(path)) == (None, "model", None)
+
+
 def test_tp_divisibility_validation():
     validate_tp_divisibility(8, 512, 4, 4)  # contract head: fine
     with pytest.raises(ValueError, match="num_heads"):
