@@ -441,9 +441,16 @@ def cmd_train(args) -> int:
                     eval_cache.append((frames, labels))
             yield from eval_cache
 
+    mesh = None
+    if getattr(args, "model_parallel", 1) > 1:
+        # Tensor parallelism (asltpu.dist.tp): train() places the state
+        # under the Megatron per-leaf shardings when the model axis is >1.
+        from asltpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(model_parallel=args.model_parallel)
     state = train(
         module, tcfg, Prefetcher(batches(), depth=2), _dummy_inputs(cfg),
-        pp_cfg=pp, metric_writer=MetricsWriter(args.log_dir),
+        pp_cfg=pp, mesh=mesh, metric_writer=MetricsWriter(args.log_dir),
         augment=None if args.no_augment else AugmentConfig(),
         eval_batches=eval_batches,
         resumable_iter=resumable_iter,
@@ -653,6 +660,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--loader-workers", type=int, default=0,
                    help="grain decode worker processes (0 = in-process; "
                         "raise on multi-core hosts)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="size of the mesh's model axis (tensor parallelism, "
+                        "asltpu.dist.tp): Megatron-shards the transformer "
+                        "head's attention/MLP params + adamw moments; "
+                        "device count must divide evenly. Models without "
+                        "an attention head run plain DP under it")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="top-1/top-5 on a WLASL split")

@@ -107,6 +107,27 @@ def test_cli_train_records_loader(tmp_path, tiny_wlasl_module):
     assert os.path.isdir(str(tmp_path / "ck" / "2"))
 
 
+def test_cli_train_model_parallel(tmp_path, tiny_wlasl_module):
+    """`asl train --model-parallel 2` runs the TP train path (Megatron
+    placements over the 8-device mesh's model axis) through the full CLI
+    stack; resnet_transformer is the family whose head actually shards."""
+    index, videos = tiny_wlasl_module
+    rc = main([
+        "train", "--model", "resnet_transformer", "--num-classes", "6",
+        "--set", "d_model=32", "--set", "num_tx_layers=1",
+        "--set", "num_heads=2",
+        "--index", index, "--videos", videos,
+        "--batch", "8", "--steps", "2", "--log-every", "1",
+        "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-every", "2",
+        "--frames", "2", "--crop", "32", "--no-augment",
+        "--model-parallel", "2",
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "ck" / "2"))
+
+
 def test_cli_train_fails_fast_when_underfull(tmp_path, tiny_wlasl_module):
     """Fewer train records than one batch must error, not spin forever."""
     index, videos = tiny_wlasl_module

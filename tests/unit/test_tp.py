@@ -153,6 +153,62 @@ def test_tp_train_step_matches_replicated():
         )
 
 
+def test_tp_state_checkpoint_roundtrip(tmp_path):
+    """TP-sharded TrainState → orbax save (device_get assembles the global
+    arrays) → restore on host → re-place under TP → continue training:
+    the resumed trajectory must be BITWISE the uninterrupted one (same
+    program, same placements — any drift means the gather or re-place
+    corrupted a shard)."""
+    from asltpu import ckpt as _ckpt
+    from asltpu.config import TrainConfig
+    from asltpu.train.loop import create_train_state, make_train_step
+
+    module = TransformerHead(
+        num_classes=8, d_model=64, num_heads=4, num_layers=1,
+        mlp_ratio=4, dropout=0.0, dtype=jnp.float32,
+    )
+    cfg = TrainConfig(batch_size=8, num_steps=4, learning_rate=1e-3,
+                      warmup_steps=0, seed=0,
+                      ckpt_dir=str(tmp_path / "ck"))
+    feats = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 5, 64), jnp.float32)
+    )
+    labels = np.arange(8, dtype=np.int32) % 8
+    dummy = (jnp.zeros((1, 5, 64), jnp.float32),)
+    mesh = make_mesh(model_parallel=2)
+
+    def fresh():
+        return tp_shard_variables(
+            create_train_state(module, cfg, dummy, seed=0), mesh
+        )
+
+    state = fresh()
+    step = make_train_step(module, cfg, mesh=mesh, state_template=state)
+
+    # Uninterrupted: two steps.
+    ref = fresh()
+    for _ in range(2):
+        ref, _ = step(ref, feats, labels)
+
+    # Interrupted: one step, save (sharded!), restore into a host template,
+    # re-place (the train() resume flow), one more step.
+    state, _ = step(state, feats, labels)
+    _ckpt.save_train_state(cfg.ckpt_dir, state)
+    restored = _ckpt.try_restore_train_state(cfg.ckpt_dir, fresh())
+    restored = tp_shard_variables(restored, mesh)
+    assert not restored.params["layer0"]["mlp1"][
+        "kernel"].sharding.is_fully_replicated
+    restored, _ = step(restored, feats, labels)
+
+    assert int(restored.step) == int(ref.step) == 2
+    for a, b in zip(jax.tree.leaves(ref.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_tp_rules_cover_fusion_cross_attention():
     """The fusion model's cross-attention modules are named ``*_attn``
     (models/fusion.py) — the out-projection row-parallel rule must match
