@@ -42,7 +42,7 @@ def main() -> None:
         },
     )
     pp = model.cfg.preprocess
-    mesh = make_mesh()  # (data, model=1); model axis kept spare for TP
+    mesh = make_mesh()  # (data, model=1); see tensor_parallel.py for TP
     n = mesh.devices.size
     print(f"mesh: {n} devices, axes {mesh.axis_names}")
 

@@ -44,6 +44,15 @@ def test_continuous_recognition(monkeypatch, capsys):
     assert "segments:" in out
 
 
+def test_tensor_parallel(capsys):
+    runpy.run_path(
+        os.path.join(EXAMPLES, "tensor_parallel.py"), run_name="__main__"
+    )
+    out = capsys.readouterr().out
+    assert "TP logits equal replicated: True" in out
+    assert "TP train step: loss" in out
+
+
 def test_sharded_inference(capsys):
     # conftest already runs tests on the 8-device virtual CPU mesh, so the
     # example's in-process CPU forcing is unnecessary here.
