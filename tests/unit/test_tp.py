@@ -153,6 +153,38 @@ def test_tp_train_step_matches_replicated():
         )
 
 
+def test_tp_eval_step_matches_replicated():
+    """The pad-aware eval step under TP: top-1/top-5 counts from the
+    TP-sharded state must equal the unsharded step's, including label==-1
+    pad rows counting zero."""
+    from asltpu.config import TrainConfig
+    from asltpu.train.loop import create_train_state, make_eval_step
+
+    module = TransformerHead(
+        num_classes=8, d_model=64, num_heads=4, num_layers=1,
+        mlp_ratio=4, dropout=0.0, dtype=jnp.float32,
+    )
+    cfg = TrainConfig(batch_size=8, num_steps=2, warmup_steps=0, seed=0)
+    feats = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 5, 64), jnp.float32)
+    )
+    labels = np.asarray([0, 1, 2, 3, 4, 5, -1, -1], np.int32)  # 2 pad rows
+    dummy = (jnp.zeros((1, 5, 64), jnp.float32),)
+
+    state = create_train_state(module, cfg, dummy, seed=0)
+    ref_t1, ref_t5 = make_eval_step(module)(state, feats, labels)
+
+    mesh = make_mesh(model_parallel=2)
+    tp_state = tp_shard_variables(
+        create_train_state(module, cfg, dummy, seed=0), mesh
+    )
+    eval_fn = make_eval_step(module, mesh=mesh, state_template=tp_state)
+    tp_t1, tp_t5 = eval_fn(tp_state, feats, labels)
+    assert int(tp_t1) == int(ref_t1)
+    assert int(tp_t5) == int(ref_t5)
+    assert int(tp_t5) <= 6  # pads can never score
+
+
 def test_tp_state_checkpoint_roundtrip(tmp_path):
     """TP-sharded TrainState → orbax save (device_get assembles the global
     arrays) → restore on host → re-place under TP → continue training:
