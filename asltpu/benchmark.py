@@ -72,13 +72,32 @@ def _staged_batch(pp, batch: int) -> np.ndarray:
 
 
 def _probe_link_mbps(n_mb: int = 8) -> float:
-    """One host→device copy of ``n_mb`` MB; returns MB/s."""
+    """One host→device copy of ``n_mb`` MB; returns MB/s.
+
+    An UNTIMED 1 MB transfer first: the relay's first RPC after an idle
+    stretch pays a fixed ~0.1–0.5 s reconnection overhead that would
+    otherwise be billed to the probe — measured 2026-08-21 in one process:
+    cold 8 MB probe 63 MB/s, the very next 995 MB/s. Since the settle loop
+    sleeps 45 s between probes, every probe used to be a cold one: a
+    HEALTHY link could never read above ~60 MB/s from inside the loop, so
+    settles always ran their full budget and the recorded link_mbps
+    understated healthy windows. The overhead spans more than one RPC
+    (warmup + one timed put still read 89 MB/s cold vs 1070 warm), so the
+    probe times TWO puts and keeps the faster — a genuinely drained
+    budget still reads low on both (the extra traffic is ~17 MB against
+    the ~300 MB budget)."""
     import jax
 
+    jax.block_until_ready(
+        jax.device_put(np.zeros((1 << 20,), np.uint8))
+    )
     buf = np.random.randint(0, 256, size=(n_mb << 20,), dtype=np.uint8)
-    t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(buf))
-    return buf.nbytes / (time.perf_counter() - t0) / 1e6
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        best = max(best, buf.nbytes / (time.perf_counter() - t0) / 1e6)
+    return best
 
 
 def _wait_link_healthy(

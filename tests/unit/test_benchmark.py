@@ -92,6 +92,19 @@ def test_stream_e2e_window_accounting():
     assert len(rates1) == 1 and detail1[0]["clips"] == 2
 
 
+def test_probe_link_warms_before_timing():
+    """The link probe must NOT bill the relay's cold-reconnect overhead to
+    the timed transfer (measured 2026-08-21: cold 8 MB probe 63 MB/s vs
+    995 MB/s warm — the settle loop's 45 s sleeps made every probe cold,
+    so a healthy link could never pass the 400 MB/s threshold). The
+    warmup is an untimed device_put issued before the timed one; on the
+    CPU backend we just assert the probe runs and returns a sane rate."""
+    from asltpu.benchmark import _probe_link_mbps
+
+    rate = _probe_link_mbps(n_mb=1)
+    assert rate > 0
+
+
 def test_bench_decode_fast_requires_av(capsys):
     """`bench --decode-fast` forces/validates the av backend (same
     fail-fast as api.stream_predict) — argparse errors exit(2) when an
