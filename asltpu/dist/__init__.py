@@ -12,3 +12,8 @@ from asltpu.dist.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from asltpu.dist.tp import (  # noqa: F401
+    tp_shard_variables,
+    tp_variable_shardings,
+    validate_tp_divisibility,
+)
