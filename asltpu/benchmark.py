@@ -71,7 +71,7 @@ def _staged_batch(pp, batch: int) -> np.ndarray:
     )
 
 
-def _probe_link_mbps(n_mb: int = 8) -> float:
+def _probe_link_mbps(n_mb: int = 4) -> float:
     """One host→device copy of ``n_mb`` MB; returns MB/s.
 
     An UNTIMED 1 MB transfer first: the relay's first RPC after an idle
@@ -84,8 +84,11 @@ def _probe_link_mbps(n_mb: int = 8) -> float:
     understated healthy windows. The overhead spans more than one RPC
     (warmup + one timed put still read 89 MB/s cold vs 1070 warm), so the
     probe times TWO puts and keeps the faster — a genuinely drained
-    budget still reads low on both (the extra traffic is ~17 MB against
-    the ~300 MB budget)."""
+    budget still reads low on both. Probe cost is itself budget spend
+    (warmup + 2×n_mb per call): during a drain, the settle loop's probes
+    compete with the refill they are waiting for, so the default stays
+    small and the loop sleeps long between calls (2026-08-21: a 17 MB/45 s
+    probe cadence measurably retarded recovery)."""
     import jax
 
     jax.block_until_ready(
@@ -124,8 +127,9 @@ def _wait_link_healthy(
         print(f"# link throttled ({rate:.0f} MB/s); settling...",
               file=sys.stderr, flush=True)
         # Recovery takes minutes of idle — probe sparsely (each probe both
-        # spends budget and may reset the relay's idle detection).
-        time.sleep(45)
+        # spends budget against the refill and may reset the relay's idle
+        # detection; see _probe_link_mbps on probe cost).
+        time.sleep(75)
         rate = _probe_link_mbps()
     remaining = min_idle_s - (time.perf_counter() - t0)
     if remaining > 0:
