@@ -153,6 +153,42 @@ def test_tp_train_step_matches_replicated():
         )
 
 
+def test_tp_contract_head_bf16():
+    """TP at the CONTRACT head shape (BASELINE.json:8 — d_model 512,
+    8 heads, 4 layers, ff 2048) under the production bf16 compute dtype,
+    mp=4: placements must divide the real shapes and the logits must
+    match the replicated run to bf16-accumulation tolerance (argmax
+    exactly)."""
+    module = TransformerHead(
+        num_classes=100, d_model=512, num_heads=8, num_layers=4,
+        mlp_ratio=4, dropout=0.0, dtype=jnp.bfloat16,
+    )
+    validate_tp_divisibility(8, 512, 4, 4)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(1), (8, 16, 512), jnp.float32
+    )
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), feats)
+    want = np.asarray(jax.jit(module.apply)(variables, feats))
+
+    mesh = make_mesh(model_parallel=4)
+    sharded = tp_shard_variables(variables, mesh)
+    q = sharded["params"]["layer0"]["attn"]["query"]["kernel"]
+    assert q.shape == (512, 8, 64) and not q.sharding.is_fully_replicated
+    got = np.asarray(jax.jit(module.apply)(sharded, feats))
+    # bf16 accumulation differs across the split reductions; logits are
+    # O(1) — 0.05 absolute is ~few ULP of bf16 at that scale.
+    np.testing.assert_allclose(got, want, atol=0.05)
+    # Argmax may only flip where the replicated run's own top-2 margin is
+    # within that accumulation noise (random-init logits have near-ties).
+    for row in range(want.shape[0]):
+        if got[row].argmax() != want[row].argmax():
+            top2 = np.sort(want[row])[-2:]
+            assert top2[1] - top2[0] < 0.1, (
+                f"row {row}: argmax flipped across a "
+                f"{top2[1] - top2[0]:.3f} margin"
+            )
+
+
 def test_tp_eval_step_matches_replicated():
     """The pad-aware eval step under TP: top-1/top-5 counts from the
     TP-sharded state must equal the unsharded step's, including label==-1
