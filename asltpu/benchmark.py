@@ -111,8 +111,10 @@ def _wait_link_healthy(
     The budget (~300 MB at ~1.5 GB/s, then ~10 MB/s; README "known
     environment limits") is shared machine-wide and refills over idle
     minutes — an e2e measurement started in the drained state reports the
-    refill rate, not the pipeline. Probes are 8 MB each (cheap against the
-    budget). Returns {"link_settle_s", "link_mbps"} for the bench JSON.
+    refill rate, not the pipeline. Each probe costs ~9 MB of budget
+    (1 MB warmup + 2×4 MB timed — see ``_probe_link_mbps``), which is why
+    the loop sleeps 75 s between probes. Returns
+    {"link_settle_s", "link_mbps"} for the bench JSON.
 
     ``min_idle_s``: ALSO guarantee at least this much idle time before
     returning. The host CPU is an independent burst quota (README §3), and

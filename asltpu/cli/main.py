@@ -328,6 +328,25 @@ def cmd_train(args) -> int:
             "models (pose_bilstm, two_stream) train via the library API "
             "with precomputed landmarks (see asltpu.train.loop.train)"
         )
+    mesh = None
+    if getattr(args, "model_parallel", 1) > 1:
+        # Tensor parallelism (asltpu.dist.tp): train() places the state
+        # under the Megatron per-leaf shardings when the model axis is >1.
+        # Validate shape divisibility NOW — before dataset setup and model
+        # init — instead of letting the first device_put of a
+        # non-divisible q/k/v kernel fail with an opaque sharding error.
+        from asltpu.dist.mesh import make_mesh
+        from asltpu.dist.tp import validate_tp_divisibility
+
+        try:
+            if hasattr(cfg, "num_heads"):
+                validate_tp_divisibility(
+                    cfg.num_heads, cfg.d_model, cfg.mlp_ratio,
+                    args.model_parallel,
+                )
+            mesh = make_mesh(model_parallel=args.model_parallel)
+        except ValueError as e:
+            raise SystemExit(f"error: --model-parallel: {e}")
     module = build_module(cfg)
     tcfg = TrainConfig(
         batch_size=args.batch,
@@ -441,13 +460,6 @@ def cmd_train(args) -> int:
                     eval_cache.append((frames, labels))
             yield from eval_cache
 
-    mesh = None
-    if getattr(args, "model_parallel", 1) > 1:
-        # Tensor parallelism (asltpu.dist.tp): train() places the state
-        # under the Megatron per-leaf shardings when the model axis is >1.
-        from asltpu.dist.mesh import make_mesh
-
-        mesh = make_mesh(model_parallel=args.model_parallel)
     state = train(
         module, tcfg, Prefetcher(batches(), depth=2), _dummy_inputs(cfg),
         pp_cfg=pp, mesh=mesh, metric_writer=MetricsWriter(args.log_dir),

@@ -57,14 +57,19 @@ def _spec_for(path) -> P:
     segs = [getattr(k, "key", str(k)) for k in path]
     name = segs[-1] if segs else ""
     parents = segs[:-1]
-    if any(p in _ATTN_PROJ for p in parents):
+    # Both attention rules gate on an attention-module parent (``attn`` in
+    # the encoder blocks, ``*_attn`` in the fusion cross-attention) — a
+    # bare submodule that happens to be named query/key/value/out outside
+    # attention must stay replicated (its kernel rank wouldn't even match
+    # the attention specs).
+    in_attn = any(p == "attn" or p.endswith("_attn") for p in parents)
+    if in_attn and any(p in _ATTN_PROJ for p in parents):
         # q/k/v: kernel [d, H, dh], bias [H, dh] — shard the head axis.
         if name == "kernel":
             return P(None, MODEL_AXIS, None)
         if name == "bias":
             return P(MODEL_AXIS, None)
-    if "out" in parents and any(p == "attn" or p.endswith("_attn")
-                                for p in parents):
+    if in_attn and "out" in parents:
         # out: kernel [H, dh, d] — row-parallel over heads; bias replicated
         # (added once after the all-reduce).
         if name == "kernel":
@@ -99,13 +104,18 @@ def tp_variable_shardings(variables, mesh: Mesh):
 def tp_shard_variables(variables, mesh: Mesh):
     """Place ``variables`` onto the mesh under the TP placements.
 
-    Serial per-leaf placement (``device_put`` one leaf at a time) — the
-    same discipline as ``api.serial_device_put``: concurrent pytree
-    transfers thrash this host's relay link (README env-limits §2)."""
+    Serial per-leaf placement — each ``device_put`` is blocked on before
+    the next is issued, the same discipline as ``api.serial_device_put``:
+    concurrent pytree transfers thrash this host's relay link (README
+    env-limits §2), and ``device_put`` alone is async."""
     shardings = tp_variable_shardings(variables, mesh)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), variables, shardings
-    )
+
+    def _put(x, s):
+        placed = jax.device_put(x, s)
+        jax.block_until_ready(placed)
+        return placed
+
+    return jax.tree.map(_put, variables, shardings)
 
 
 def validate_tp_divisibility(num_heads: int, d_model: int, mlp_ratio: int,

@@ -92,17 +92,30 @@ def test_stream_e2e_window_accounting():
     assert len(rates1) == 1 and detail1[0]["clips"] == 2
 
 
-def test_probe_link_warms_before_timing():
+def test_probe_link_warms_before_timing(monkeypatch):
     """The link probe must NOT bill the relay's cold-reconnect overhead to
     the timed transfer (measured 2026-08-21: cold 8 MB probe 63 MB/s vs
-    995 MB/s warm — the settle loop's 45 s sleeps made every probe cold,
-    so a healthy link could never pass the 400 MB/s threshold). The
-    warmup is an untimed device_put issued before the timed one; on the
-    CPU backend we just assert the probe runs and returns a sane rate."""
-    from asltpu.benchmark import _probe_link_mbps
+    995 MB/s warm — the settle loop's sleeps made every probe cold, so a
+    healthy link could never pass the 400 MB/s threshold). Contract
+    traced via device_put: an untimed 1 MB warmup put FIRST, then two
+    timed n_mb puts with the faster kept (cold overhead spans more than
+    one RPC)."""
+    import jax
 
-    rate = _probe_link_mbps(n_mb=1)
+    from asltpu import benchmark
+
+    puts = []
+    real_put = jax.device_put
+
+    def spy(x, *a, **k):
+        puts.append(getattr(x, "nbytes", None))
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jax, "device_put", spy)
+    rate = benchmark._probe_link_mbps(n_mb=2)
     assert rate > 0
+    assert puts == [1 << 20, 2 << 20, 2 << 20], (
+        f"expected warmup 1MB then two timed 2MB puts, saw {puts}")
 
 
 def test_bench_decode_fast_requires_av(capsys):

@@ -128,6 +128,24 @@ def test_cli_train_model_parallel(tmp_path, tiny_wlasl_module):
     assert os.path.isdir(str(tmp_path / "ck" / "2"))
 
 
+def test_cli_train_model_parallel_fails_fast_on_shapes(tmp_path,
+                                                       tiny_wlasl_module):
+    """Non-divisible head shapes under --model-parallel must die with a
+    clear SystemExit BEFORE dataset setup, not an opaque sharding error
+    from the first device_put."""
+    index, videos = tiny_wlasl_module
+    with pytest.raises(SystemExit, match="model-parallel"):
+        main([
+            "train", "--model", "resnet_transformer", "--num-classes", "6",
+            "--set", "d_model=32", "--set", "num_heads=3",
+            "--index", index, "--videos", videos,
+            "--batch", "8", "--steps", "1",
+            "--ckpt-dir", str(tmp_path / "ck"),
+            "--frames", "2", "--crop", "32", "--no-augment",
+            "--model-parallel", "2",
+        ])
+
+
 def test_cli_train_fails_fast_when_underfull(tmp_path, tiny_wlasl_module):
     """Fewer train records than one batch must error, not spin forever."""
     index, videos = tiny_wlasl_module
